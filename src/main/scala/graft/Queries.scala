@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's verifiable query surface over the driver testdata tables
+  * (`lineitem orders customer supplier part nation region events documents
+  * embeddings`). Every query here has a matching DuckDB oracle in
+  * [[Queries.oracles]] unless it is not SQL-expressible, in which case the
+  * driver records a rows-only check.
+  *
+  * Scale notes (100 TB design point): all plans below are declarative
+  * DataFrame plans — predicate pushdown / column pruning reach the parquet
+  * scan, small dimensions are broadcast explicitly, and aggregations use
+  * map-side partial aggregation. No collect()-driven logic anywhere.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // Round to kill float last-ulp drift between Spark and DuckDB summation order.
+  private def r2(c: Column): Column = round(c, 2)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- Aggregation (SURVEY §2.5 A1-A7 analogs) ---
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r2(sum("l_quantity")).as("sum_qty"),
+          r2(sum("l_extendedprice")).as("sum_base_price"),
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          r2(avg("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // --- Filter + projection pushdown (SURVEY §2.2 F1/F2 analog) ---
+    "q2_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") <= 0.02)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // --- Shuffle join + agg (SURVEY §2.4 J1/J4 analog) ---
+    "q3_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+             countDistinct("o_orderkey").as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // --- Window ranking (SURVEY §2.6: per-host budget top-N analog) ---
+    "q4_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn", "o_orderkey")
+    }),
+
+    // --- Broadcast dim join chain (SURVEY §2.4 J6 analog) ---
+    "q5_dims" -> ((s, dir) => {
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      su.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_suppliers"), r2(avg("s_acctbal")).as("avg_bal"))
+        .orderBy("r_name")
+    }),
+
+    // --- Anti join (URL-seen-set semantics, SURVEY §2.2 F5/J5) ---
+    "q6_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // --- Semi join ---
+    "q7_semi" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      p.join(l, col("p_partkey") === col("l_partkey"), "left_semi")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy("p_brand")
+    }),
+
+    // --- Distinct / set ops (SURVEY §2.7) ---
+    "q8_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderstatus", "o_orderpriority").distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // --- Event-stream rollup with lag window (SURVEY §2.6 EWMA-carry analog) ---
+    "q9_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), r2(sum("value")).as("sum_value"),
+             countDistinct("user_id").as("n_users"))
+        .orderBy("event_type")
+    }),
+
+    // --- Global sort + limit ---
+    "q10_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_custkey"), r2(col("o_totalprice")).as("o_totalprice"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |  round(avg(l_discount),2) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q2_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount <= 0.02
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join" ->
+      """SELECT c_mktsegment,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |JOIN customer ON o_custkey=c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q4_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2
+        |ORDER BY o_custkey, rn, o_orderkey""".stripMargin,
+    "q5_dims" ->
+      """SELECT r_name, count(*) AS n_suppliers, round(avg(s_acctbal),2) AS avg_bal
+        |FROM supplier JOIN nation ON s_nationkey=n_nationkey
+        |JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_cust FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey=c_custkey AND o_totalprice > 100000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q7_semi" ->
+      """SELECT p_brand, count(*) AS n_parts FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey=p_partkey AND l_quantity >= 49)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q8_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY 1,2""".stripMargin,
+    "q9_events" ->
+      """SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_topk" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS o_totalprice
+        |FROM orders ORDER BY orders.o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+  )
+}
