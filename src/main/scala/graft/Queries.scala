@@ -122,8 +122,51 @@ object Queries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
         .select(col("o_orderkey"), col("o_custkey"), r2(col("o_totalprice")).as("o_totalprice"))
+    }),
+
+    // --- Crawler engine (SURVEY §2.2-2.3, §2.8): rows-only driver checks;
+    //     byte-parity + determinism are covered by `sbt -batch test`. ---
+
+    // Full per-page JSON-LD extract stage over the synthetic pages corpus.
+    "crawl_extract_jobs" -> ((s, dir) => {
+      import graft.frontier.Canon
+      val pages = graft.synth.PagesGen.pages(s, 2000L).toDF()
+        .withColumn("canon_url", col("url"))
+        .withColumn("platform", crawlPlatformOf(col("url")))
+        .withColumn("category_id", lit("adhoc"))
+        .filter(col("platform").isNotNull)
+      graft.jobs.ExtractJob.jobs(graft.jobs.ExtractJob.extractPages(pages).toDF())
+        .orderBy("platform", "source_id")
+    }),
+
+    // Frontier round driver end-to-end (canon → seen → robots → budgets →
+    // fetch-join → extract) with snapshot state in a temp dir.
+    "crawl_rounds" -> ((s, dir) => {
+      val stateDir = java.nio.file.Files.createTempDirectory("graft_q_rounds_").toString
+      val pages = graft.synth.PagesGen.pages(s, 2000L).toDF()
+      val seeds = graft.synth.PagesGen.seedUrls(s, 2000L).toDF()
+      val policy = graft.synth.PagesGen.hostPolicy(s).toDF()
+      val state = new graft.frontier.RoundState(s, stateDir)
+      var round = 0
+      var continue = true
+      while (continue && round < 12) {
+        val st = graft.jobs.CrawlRound.run(s, pages, seeds, policy, state, round, 60.0)
+        if (st.scheduled == 0) continue = false
+        round += 1
+      }
+      state.readCommitted("ordering").get
+        .orderBy("round", "host", "sched_rank")
     })
   )
+
+  /** Platform from URL grammar (FIXTURES.md §4). */
+  private def crawlPlatformOf(url: Column): Column =
+    when(url.contains("104.com.tw"), "platform_104")
+      .when(url.contains("1111.com.tw"), "platform_1111")
+      .when(url.contains("cake.me"), "platform_cakeresume")
+      .when(url.contains("yes123.com.tw"), "platform_yes123")
+      .when(url.contains("yourator.co"), "platform_yourator")
+      .otherwise(lit(null: String))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->

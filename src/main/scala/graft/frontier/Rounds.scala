@@ -1,0 +1,65 @@
+package graft.frontier
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style snapshot/manifest layer over partitioned parquet
+  * (SURVEY.md §7.0 — no Iceberg runtime jars ship in /opt/spark/jars, so
+  * rounds commit through a thin manifest: state is only visible once the
+  * round's manifest file exists, making resume atomic and replayable).
+  *
+  * Layout under `stateDir`:
+  * {{{
+  *   <table>/round=<k>/(parquet)   state deltas / outputs per round
+  *   _manifest/round_<k>.json      commit marker, written last
+  * }}}
+  */
+final class RoundState(spark: SparkSession, stateDir: String) {
+
+  private val manifestDir: Path = Paths.get(stateDir, "_manifest")
+
+  def committedRounds: Seq[Int] = {
+    if (!Files.isDirectory(manifestDir)) return Seq.empty
+    Files.list(manifestDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("round_") && s.endsWith(".json") =>
+        s.stripPrefix("round_").stripSuffix(".json").toInt
+      }
+      .toSeq.sorted
+  }
+
+  def nextRound: Int = committedRounds.lastOption.map(_ + 1).getOrElse(0)
+
+  /** Append a round-delta for a state table (not visible until commit). */
+  def writeDelta(table: String, round: Int, df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(s"$stateDir/$table/round=$round")
+
+  /** Union of all committed deltas of a table (empty frame via schema sample
+    * must be handled by callers when no rounds are committed yet).
+    */
+  def readCommitted(table: String): Option[DataFrame] = {
+    val rounds = committedRounds
+    val paths = rounds.map(r => s"$stateDir/$table/round=$r")
+      .filter(p => Files.isDirectory(Paths.get(p)))
+    if (paths.isEmpty) None
+    else Some(spark.read.parquet(paths: _*))
+  }
+
+  /** Row count of one written delta (parquet footer metadata read). */
+  def readDeltaCount(table: String, round: Int): Long =
+    spark.read.parquet(s"$stateDir/$table/round=$round").count()
+
+  /** Commit a round: manifest written last, after all table writes landed. */
+  def commit(round: Int, info: Map[String, Any]): Unit = {
+    Files.createDirectories(manifestDir)
+    val json = info.map {
+      case (k, v: String) => s""""$k": "$v""""
+      case (k, v) => s""""$k": $v"""
+    }.mkString("{", ", ", "}")
+    val tmp = manifestDir.resolve(s".round_$round.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, manifestDir.resolve(s"round_$round.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.jobs
+
+import graft.frontier.RoundState
+import graft.synth.PagesGen
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** spark-submit entry point: run the full frontier → fetch → extract pipeline
+  * over the synthetic Common-Crawl-style corpus (or a pre-written pages dir),
+  * with checkpoint/resume via the round-manifest state.
+  *
+  * Usage (all flags optional):
+  *   runMain graft.jobs.CrawlMain --pages 50000 --state /tmp/crawl_state \
+  *     --rounds 10 --roundSeconds 600 --cpus 8 [--pagesDir DIR] [--seed 42]
+  *
+  * Prints one JSON line with totals and urls/sec (the BASELINE.json metric).
+  */
+object CrawlMain {
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val nPages = opts.getOrElse("--pages", "20000").toLong
+    val stateDir = opts.getOrElse("--state", "/tmp/graft_crawl_state")
+    val maxRounds = opts.getOrElse("--rounds", "10").toInt
+    val roundSeconds = opts.getOrElse("--roundSeconds", "600").toDouble
+    val cpus = opts.getOrElse("--cpus", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val seed = opts.getOrElse("--seed", "42").toLong
+    val pagesDir = opts.get("--pagesDir")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-crawl")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val t0 = System.nanoTime()
+    val pages = pagesDir match {
+      case Some(dir) => spark.read.parquet(dir)
+      case None => PagesGen.pages(spark, nPages, seed).toDF()
+    }
+    val seeds = PagesGen.seedUrls(spark, nPages, seed).toDF()
+    val policy = PagesGen.hostPolicy(spark).toDF()
+    val state = new RoundState(spark, stateDir)
+
+    var totalScheduled = 0L
+    var totalExtracted = 0L
+    var round = state.nextRound
+    var continue = true
+    val roundStats = scala.collection.mutable.ListBuffer.empty[CrawlRound.RoundStats]
+    while (continue && round < maxRounds) {
+      val st = CrawlRound.run(spark, pages, seeds, policy, state, round, roundSeconds)
+      roundStats += st
+      totalScheduled += st.scheduled
+      totalExtracted += st.extracted
+      if (st.scheduled == 0) continue = false
+      round += 1
+    }
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    val urlsPerSec = if (wallSec > 0) totalScheduled / wallSec else 0.0
+
+    val roundsJson = roundStats.map(s =>
+      s"""{"round":${s.round},"frontier":${s.frontier},"scheduled":${s.scheduled},""" +
+      s""""fetched":${s.fetched},"extracted":${s.extracted},"jobs":${s.jobs},""" +
+      s""""companies":${s.companies}}""").mkString("[", ",", "]")
+    println(
+      s"""{"metric":"urls_scheduled_extracted_per_sec","value":$urlsPerSec,""" +
+      s""""unit":"urls/sec","wall_sec":$wallSec,"pages":$nPages,"cpus":"$cpus",""" +
+      s""""scheduled":$totalScheduled,"extracted":$totalExtracted,"rounds":$roundsJson}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,129 @@
+package graft.jobs
+
+import graft.frontier.{Canon, Politeness, RoundState, SeenSet}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One frontier round — the Spark shape of the reference's per-category crawl
+  * loop (SURVEY.md §3.1):
+  *
+  * seeds → anti-join(crawled) → canon+dedup → anti-join(seen, bloom) →
+  * policy join → robots filter → cooling filter → per-host window-ranked
+  * budgets → join(pages) → extract → table projections → commit round
+  * snapshot (seen/crawled/metrics + outputs), manifest last.
+  */
+object CrawlRound {
+
+  final case class RoundStats(
+      round: Int, frontier: Long, scheduled: Long, fetched: Long,
+      extracted: Long, jobs: Long, companies: Long)
+
+  def run(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
+          policy: DataFrame, state: RoundState, round: Int,
+          roundSeconds: Double): RoundStats = {
+
+    // F2 resume: drop categories already fully crawled in committed rounds
+    val crawled = state.readCommitted("crawled")
+    val afterResume = crawled match {
+      case Some(c) => seeds.join(broadcast(c.select("platform", "category_id").distinct()),
+        Seq("platform", "category_id"), "left_anti")
+      case None => seeds
+    }
+
+    // F4 canon + F5 intra-batch dedup (deterministic keep-best by priority)
+    val canonized = afterResume
+      .withColumn("canon_url", Canon.canonUrl(col("url")))
+      .withColumn("host", Canon.host(col("url")))
+      .withColumn("path", Canon.path(col("url")))
+    val dedupW = Window.partitionBy(col("canon_url"))
+      .orderBy(col("priority").desc, col("url").asc)
+    val deduped = canonized.withColumn("_rn", row_number().over(dedupW))
+      .filter(col("_rn") === 1).drop("_rn")
+
+    // J5 cross-round seen-set (bloom prefilter + exact anti-join)
+    val seenOpt = state.readCommitted("seen")
+    val seenCount = seenOpt.map(_.count()).getOrElse(0L)
+    val unseen = seenOpt match {
+      case Some(seen) => SeenSet.antiJoin(deduped, seen, "canon_url", seenCount)
+      case None => deduped
+    }
+
+    // P2 policy join (broadcast dim) + robots + budget
+    val withPolicy = unseen
+      .join(broadcast(policy), Seq("host"), "left")
+      .withColumn("budget",
+        greatest(lit(1), floor(coalesce(col("rate_per_s"), lit(2.0)) * roundSeconds)).cast("int"))
+    val allowed = Politeness.applyRobots(withPolicy)
+
+    // P3 cooling hosts excluded for this round
+    val cooled = state.readCommitted("cooling") match {
+      case Some(cool) =>
+        allowed.join(broadcast(cool.filter(col("until_round") > round).select("host")),
+          Seq("host"), "left_anti")
+      case None => allowed
+    }
+
+    val frontierCount = cooled.count()
+
+    // P1 window-ranked per-host budget (salted two-phase top-N)
+    val selected = Politeness.selectBudget(cooled).cache()
+    val scheduledCount = selected.count()
+
+    // J4: "fetch" = equi-join against the pages table on canonical URL.
+    // Only url+html+ts columns are read from the scan (column pruning).
+    val fetched = selected
+      .join(pages.select(col("url").as("canon_url"), col("html"), col("warc_ts")),
+        Seq("canon_url"), "inner")
+    val extracted = ExtractJob.extractPages(fetched).toDF().cache()
+    val fetchedCount = extracted.count()
+    val extractedCount = extracted.filter(col("extract_ok")).count()
+
+    // outputs (per-round partitions; a downstream MERGE-style compaction can
+    // fold rounds, dedup keys are (platform, source_id))
+    val jobsDf = ExtractJob.jobs(extracted)
+    val companiesDf = ExtractJob.companies(extracted)
+    state.writeDelta("out_jobs", round, jobsDf)
+    state.writeDelta("out_companies", round, companiesDf)
+    state.writeDelta("out_locations", round, ExtractJob.locations(extracted))
+    state.writeDelta("out_skills", round, ExtractJob.skills(extracted))
+    state.writeDelta("out_junction", round, ExtractJob.junction(extracted))
+    val jobsCount = state.readDeltaCount(s"out_jobs", round)
+    val companiesCount = state.readDeltaCount(s"out_companies", round)
+
+    // crawl ordering lineage: (round, host, sched_rank, canon_url)
+    state.writeDelta("ordering", round,
+      selected.select(lit(round).as("round"), col("host"), col("sched_rank"),
+        col("canon_url"), col("platform"), col("category_id")))
+
+    // seen delta: everything scheduled this round (budget spent once per URL)
+    state.writeDelta("seen", round, selected.select("canon_url"))
+
+    // crawled delta (F7): categories with no remaining unscheduled URLs
+    val remaining = cooled.join(selected.select("canon_url"), Seq("canon_url"), "left_anti")
+    val doneCategories = cooled.select("platform", "category_id").distinct()
+      .join(remaining.select("platform", "category_id").distinct(),
+        Seq("platform", "category_id"), "left_anti")
+    state.writeDelta("crawled", round, doneCategories)
+
+    // A1-style health metrics per platform for this round
+    val metrics = extracted.groupBy("platform").agg(
+      count(lit(1)).as("total_requests"),
+      count(lit(1)).as("success_requests"),
+      sum(when(col("extract_ok"), 1L).otherwise(0L)).as("extraction_success"),
+      sum(when(!col("extract_ok"), 1L).otherwise(0L)).as("extraction_failure"),
+      avg(col("latency_ms")).as("avg_latency_ms"),
+      sum(when(!col("job_valid") && col("extract_ok"), 1L).otherwise(0L)).as("invalid_jobs"))
+      .withColumn("round", lit(round))
+    state.writeDelta("metrics", round, metrics)
+
+    state.commit(round, Map(
+      "round" -> round, "frontier" -> frontierCount, "scheduled" -> scheduledCount,
+      "fetched" -> fetchedCount, "extracted" -> extractedCount))
+
+    selected.unpersist()
+    extracted.unpersist()
+    RoundStats(round, frontierCount, scheduledCount, fetchedCount, extractedCount,
+      jobsCount, companiesCount)
+  }
+}

@@ -1,0 +1,143 @@
+package graft.jobs
+
+import graft.frontier.RoundState
+import graft.synth.PagesGen
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Pipeline-level tests (SURVEY.md §5.2 items 3-5): determinism across
+  * parallelism, resume-from-checkpoint equivalence, politeness budgets,
+  * robots rules, and the ported acceptance-audit SQL.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val N = 1200L
+  private val RoundSeconds = 60.0 // 104 budget 300/round
+
+  private def runAll(stateDir: String, shufflePartitions: Int,
+                     stopAfter: Int = Int.MaxValue): RoundState = {
+    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    val pages = PagesGen.pages(spark, N).toDF()
+    val seeds = PagesGen.seedUrls(spark, N).toDF()
+    val policy = PagesGen.hostPolicy(spark).toDF()
+    val state = new RoundState(spark, stateDir)
+    var round = state.nextRound
+    var continue = true
+    while (continue && round < stopAfter) {
+      val st = CrawlRound.run(spark, pages, seeds, policy, state, round, RoundSeconds)
+      if (st.scheduled == 0) continue = false
+      round += 1
+    }
+    state
+  }
+
+  private def tmp(): String = Files.createTempDirectory("graft_pipe_").toString
+
+  private def ordering(state: RoundState): DataFrame =
+    state.readCommitted("ordering").get
+      .select("round", "host", "sched_rank", "canon_url")
+
+  test("crawl ordering and URL-seen set are identical across parallelism levels") {
+    val sA = runAll(tmp(), shufflePartitions = 2)
+    val sB = runAll(tmp(), shufflePartitions = 16)
+    val ordA = ordering(sA).collect().map(_.toString).sorted
+    val ordB = ordering(sB).collect().map(_.toString).sorted
+    assert(ordA.length > 0)
+    assert(ordA.sameElements(ordB))
+    val seenA = sA.readCommitted("seen").get.collect().map(_.getString(0)).sorted
+    val seenB = sB.readCommitted("seen").get.collect().map(_.getString(0)).sorted
+    assert(seenA.sameElements(seenB))
+  }
+
+  test("resume from checkpoint is equivalent to a straight-through run") {
+    val dirC = tmp()
+    runAll(dirC, 4, stopAfter = 2) // partial run: 2 committed rounds
+    val resumed = runAll(dirC, 4) // resumes at round 2 via manifests
+    val straight = runAll(tmp(), 4)
+    val a = ordering(resumed).collect().map(_.toString).sorted
+    val b = ordering(straight).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    val jobsA = resumed.readCommitted("out_jobs").get
+      .select("platform", "source_id").collect().map(_.toString).sorted
+    val jobsB = straight.readCommitted("out_jobs").get
+      .select("platform", "source_id").collect().map(_.toString).sorted
+    assert(jobsA.sameElements(jobsB))
+  }
+
+  test("politeness: per-host per-round scheduled count never exceeds budget") {
+    val state = runAll(tmp(), 4)
+    val ord = state.readCommitted("ordering").get
+    val budgets = Map(
+      "www.104.com.tw" -> 300L, "www.1111.com.tw" -> 300L, "www.cake.me" -> 300L,
+      "www.yes123.com.tw" -> 180L, "www.yourator.co" -> 300L)
+    val counts = ord.groupBy("round", "host").count().collect()
+    assert(counts.nonEmpty)
+    counts.foreach { r =>
+      val host = r.getString(1)
+      val cnt = r.getLong(2)
+      assert(cnt <= budgets.getOrElse(host, 120L), s"host $host round ${r.get(0)}: $cnt")
+    }
+    // sched_rank is dense 1..n per (round, host)
+    val bad = ord.groupBy("round", "host")
+      .agg(count(lit(1)).as("n"), max("sched_rank").as("mx"), min("sched_rank").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(bad.isEmpty)
+  }
+
+  test("robots deny prefixes are never scheduled") {
+    val state = runAll(tmp(), 4)
+    val ord = state.readCommitted("ordering").get
+    val offenders = ord.filter(
+      (col("host").isin("www.104.com.tw", "www.1111.com.tw")) &&
+        col("canon_url").contains("/admin"))
+    assert(offenders.isEmpty)
+  }
+
+  test("URL-seen set: no URL is ever scheduled twice across rounds") {
+    val state = runAll(tmp(), 4)
+    val dup = state.readCommitted("seen").get
+      .groupBy("canon_url").count().filter(col("count") > 1)
+    assert(dup.isEmpty)
+  }
+
+  test("acceptance audits ported from small_sample_test_plan.md / verify_data.py") {
+    val state = runAll(tmp(), 4)
+    val jobs = state.readCommitted("out_jobs").get
+    val companies = state.readCommitted("out_companies").get
+    assert(jobs.count() > 0 && companies.count() > 0)
+
+    // anti-hallucination: employees < 2 and capital < 100000 must be absent
+    assert(companies.filter(col("employee_count").cast("long") < 2).isEmpty)
+    assert(companies.filter(col("capital").cast("long") < 100000).isEmpty)
+    // privacy leakage
+    assert(companies.filter(col("capital").contains("暫不公開") ||
+      col("employee_count").contains("暫不公開")).isEmpty)
+    // address hygiene: no internal id noise or UI labels or JSON braces
+    val addrNoise = jobs.filter(col("address").rlike("no=|\\{|\\}|薪資待遇|上班時段|查看地圖"))
+    assert(addrNoise.isEmpty)
+    // company FK completeness on extracted jobs
+    assert(jobs.filter(col("company_source_id").isNull).isEmpty)
+    // every company row referenced by a job exists (J1 join completeness)
+    val orphan = jobs.select("platform", "company_source_id").distinct()
+      .join(companies.select(col("platform"), col("source_id").as("company_source_id")),
+        Seq("platform", "company_source_id"), "left_anti")
+    assert(orphan.isEmpty)
+    // locations have non-null coords by construction
+    val locs = state.readCommitted("out_locations").get
+    assert(locs.filter(col("latitude").isNull || col("longitude").isNull).isEmpty)
+    // skills explode produced typed rows
+    val skills = state.readCommitted("out_skills").get
+    assert(skills.count() > 0)
+    assert(skills.filter(col("skill_type").isNull).isEmpty)
+  }
+}
