@@ -139,6 +139,84 @@ object Queries {
         .orderBy("platform", "source_id")
     }),
 
+    // --- Training-data pipeline ops (dedup / similarity / text analysis /
+    //     multimodal) over documents + embeddings ---
+
+    "d1_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // simulate a re-crawl: the duplicated corpus collapses back to one row
+      // per content hash
+      graft.ops.TextOps.dedupExact(docs.unionByName(docs))
+        .orderBy("keeper_doc_id")
+    }),
+
+    "d2_fingerprint" -> ((s, dir) => {
+      graft.ops.TextOps.fingerprint(t(s, dir, "documents"))
+        .select("doc_id", "fingerprint").orderBy("doc_id")
+    }),
+
+    "d3_token_stats" -> ((s, dir) => {
+      graft.ops.TextOps.tokenCounts(t(s, dir, "documents")).orderBy("doc_id")
+    }),
+
+    "d4_quality_score" -> ((s, dir) => {
+      graft.ops.TextOps.qualityScore(t(s, dir, "documents")).orderBy("doc_id")
+    }),
+
+    "d5_langid" -> ((s, dir) => {
+      graft.ops.TextOps.langId(t(s, dir, "documents")).orderBy("doc_id")
+    }),
+
+    "d6_ngram_jaccard" -> ((s, dir) => {
+      graft.ops.TextOps.ngramJaccard(t(s, dir, "documents"), 0.3)
+        .orderBy("source", "doc_a", "doc_b")
+    }),
+
+    // MinHash-LSH near-dup over corpus + perturbed copies (rows-only check;
+    // recall asserted in OpsSpec)
+    "d7_minhash_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mutated = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        array_join(slice(split(col("text"), " "), lit(1),
+          greatest(size(split(col("text"), " ")) - 3, lit(1))), " ").as("text"))
+      graft.ops.TextOps.minhashLsh(docs.select("doc_id", "text").unionByName(mutated),
+          threshold = 0.9)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash near-dup (rows-only; bit-exactness asserted in OpsSpec)
+    "d8_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mutated = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        array_join(slice(split(col("text"), " "), lit(1),
+          greatest(size(split(col("text"), " ")) - 2, lit(1))), " ").as("text"))
+      graft.ops.TextOps.simhashPairs(docs.select("doc_id", "text").unionByName(mutated), 8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "d9_ann_brute_topk" -> ((s, dir) => {
+      graft.ops.VectorOps.bruteForceTopK(t(s, dir, "embeddings"), 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (rows-only; recall vs brute force asserted in OpsSpec)
+    "d10_ann_lsh" -> ((s, dir) => {
+      graft.ops.VectorOps.lshTopK(t(s, dir, "embeddings"), 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    "d11_embed_neardup" -> ((s, dir) => {
+      graft.ops.VectorOps.cosineNearDup(t(s, dir, "embeddings"), 0.4)
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    "m1_media_meta" -> ((s, dir) => {
+      graft.ops.Multimodal.decodeMeta(
+        graft.ops.Multimodal.asMedia(t(s, dir, "documents"))).toDF()
+        .select("doc_id", "kind", "n_bytes", "header_hex")
+        .orderBy("doc_id")
+    }),
+
     // Frontier round driver end-to-end (canon → seen → robots → budgets →
     // fetch-join → extract) with snapshot state in a temp dir.
     "crawl_rounds" -> ((s, dir) => {
@@ -218,6 +296,85 @@ object Queries {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q10_topk" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS o_totalprice
-        |FROM orders ORDER BY orders.o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+        |FROM orders ORDER BY orders.o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_doc_id,
+        |  count(*) AS n_copies
+        |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |GROUP BY 1 ORDER BY 2""".stripMargin,
+    "d2_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d3_token_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        |  length(text) AS n_chars,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_proxy
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d4_quality_score" ->
+      """SELECT doc_id,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  round(CAST(len(list_filter(string_split(text,' '),
+        |    x -> x IN ('the','a','of','is','to','and','in'))) AS DOUBLE)
+        |    / len(string_split(text,' ')), 4) AS stopword_ratio,
+        |  round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |    / len(string_split(text,' ')), 4) AS type_token_ratio,
+        |  round(CAST(length(text) AS DOUBLE) / len(string_split(text,' ')), 4)
+        |    AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d5_langid" ->
+      """SELECT doc_id, lang AS labeled_lang,
+        |  round(CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1), 4) AS cjk_ratio,
+        |  round(CAST(len(list_filter(string_split(text,' '),
+        |    x -> x IN ('the','a','of','is','to','and','in'))) AS DOUBLE)
+        |    / greatest(len(string_split(text,' ')), 1), 4) AS en_stopword_ratio,
+        |  CASE WHEN CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+        |              / greatest(length(text), 1) > 0.5 THEN 'zh'
+        |       WHEN CAST(len(list_filter(string_split(text,' '),
+        |              x -> x IN ('the','a','of','is','to','and','in'))) AS DOUBLE)
+        |              / greatest(len(string_split(text,' ')), 1) > 0.02 THEN 'en'
+        |       ELSE 'unknown' END AS predicted_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d6_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id, list_distinct(string_split(text,' ')) AS tk
+        |  FROM documents)
+        |SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |    / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4) AS jaccard
+        |FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |    / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.3
+        |ORDER BY a.source, doc_a, doc_b""".stripMargin,
+    "d9_ann_brute_topk" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |      / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |       * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM pairs) WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+    "d11_embed_neardup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |    / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |     * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |    / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |     * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "m1_media_meta" ->
+      """SELECT doc_id, 'image/fake' AS kind,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  substr(lower(hex(CAST(text AS BLOB))), 1, 8) AS header_hex
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

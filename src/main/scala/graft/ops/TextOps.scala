@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data text operators over a `documents(doc_id, text,
+  * lang, source, n_chars)` table: exact dedup, MinHash-LSH / SimHash /
+  * n-gram-Jaccard near-dup, language-ID heuristic, quality scoring, token
+  * counting, fingerprinting.
+  *
+  * All operators are declarative column pipelines (whole-stage codegen; no
+  * UDFs) except where bit-fiddling forces higher-order functions — still
+  * Catalyst expressions, never a Python boundary.
+  *
+  * Scale notes: near-dup pair generation is the quadratic danger zone at
+  * 100 TB. Exact dedup is a hash groupBy (linear). MinHash-LSH joins only
+  * within (band, signature) buckets, so the shuffle is proportional to
+  * candidate collisions, not n². n-gram Jaccard here is scoped within a
+  * `source` bucket (as a blocking key) for the same reason.
+  */
+object TextOps {
+
+  private def tokens(text: Column): Column = split(text, " ")
+
+  /** Exact dedup by content hash: keep the smallest doc_id per fingerprint,
+    * count the duplicates (hash-groupBy; map-side partial agg).
+    */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("fingerprint"))
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"),
+      xxhash64(col("text")).as("fast_hash64"))
+
+  /** Token statistics: whitespace tokens, distinct tokens, chars, and a
+    * BPE-ish subword proxy (4-char chunks ceil).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      size(array_distinct(tokens(col("text")))).as("n_distinct_tokens"),
+      length(col("text")).as("n_chars"),
+      ceil(length(col("text")) / 4.0).cast("long").as("n_subwords_proxy"))
+
+  private val stopwords = Seq("the", "a", "of", "is", "to", "and", "in")
+
+  /** Quality scoring: length, stopword ratio, type-token ratio, mean word
+    * length — the length/punct/stopword heuristics of web-text filtering.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val stopHits = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+    docs.select(col("doc_id"),
+      nTok.as("n_tokens"),
+      round(stopHits.cast("double") / nTok, 4).as("stopword_ratio"),
+      round(size(array_distinct(toks)).cast("double") / nTok, 4).as("type_token_ratio"),
+      round(length(col("text")).cast("double") / nTok, 4).as("mean_token_len"))
+  }
+
+  /** Heuristic language ID: CJK-character ratio + English stopword density.
+    * (n-gram-profile style; deterministic, SQL-expressible.)
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val cjkChars = length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", ""))
+    val cjkRatio = cjkChars.cast("double") / greatest(length(col("text")), lit(1))
+    val stopHits = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+    val stopRatio = stopHits.cast("double") / greatest(nTok, lit(1))
+    docs.select(col("doc_id"), col("lang").as("labeled_lang"),
+      round(cjkRatio, 4).as("cjk_ratio"),
+      round(stopRatio, 4).as("en_stopword_ratio"),
+      when(cjkRatio > 0.5, "zh")
+        .when(stopRatio > 0.02, "en")
+        .otherwise("unknown").as("predicted_lang"))
+  }
+
+  /** Word-set Jaccard near-dup pairs within a blocking key (`source`).
+    * Jaccard = |A∩B| / |A∪B| over distinct tokens; emits pairs above the
+    * threshold. The blocking key bounds the pair blow-up (n² within block).
+    */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val a = docs.select(col("source"), col("doc_id").as("doc_a"),
+      array_distinct(tokens(col("text"))).as("toks_a"))
+    val b = docs.select(col("source"), col("doc_id").as("doc_b"),
+      array_distinct(tokens(col("text"))).as("toks_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    val union = size(col("toks_a")) + size(col("toks_b")) - inter
+    a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", round(inter.cast("double") / union, 4))
+      .filter(col("jaccard") >= threshold)
+      .select("source", "doc_a", "doc_b", "jaccard")
+  }
+
+  private val MinhashPrime = 2147483647L // 2^31 - 1 (keeps a*h + b < 2^63)
+
+  /** MinHash signature column: k permutation-hashes
+    * h_i(t) = (a_i * h(t) + b_i) mod (2^31-1), minimum over tokens, where
+    * h(t) = xxhash64(t) mod (2^31-1). Multipliers stay small so the product
+    * never overflows a long (Spark 4 runs ANSI mode).
+    */
+  def minhashSignature(text: Column, k: Int): Column = {
+    val base = transform(array_distinct(split(text, " ")),
+      t => pmod(xxhash64(t), lit(MinhashPrime)))
+    transform(sequence(lit(0), lit(k - 1)), i => {
+      val a = i * 2 + 1
+      val b = pmod(xxhash64(i.cast("string")), lit(MinhashPrime))
+      array_min(transform(base, h => pmod(h * a + b, lit(MinhashPrime))))
+    })
+  }
+
+  /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
+    *
+    * k signatures split into `bands` bands; docs sharing any band signature
+    * become candidates (shuffle ∝ collisions). Candidates are then verified
+    * with exact token-set Jaccard — LSH recalls, Jaccard decides.
+    */
+  def minhashLsh(docs: DataFrame, k: Int = 32, bands: Int = 8,
+                 threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    val sigs = docs.select(col("doc_id"), col("text"),
+      minhashSignature(col("text"), k).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("text"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
+        xxhash64(concat_ws("_",
+          slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")))))
+        .as(Seq("band", "band_sig")))
+    val a = banded.select(col("band"), col("band_sig"),
+      col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val b = banded.select(col("band"), col("band_sig"),
+      col("doc_id").as("doc_b"), col("text").as("text_b"))
+    val candidates = a.join(b, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "text_a", "text_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val ta = array_distinct(split(col("text_a"), " "))
+    val tb = array_distinct(split(col("text_b"), " "))
+    val inter = size(array_intersect(ta, tb))
+    val union = size(ta) + size(tb) - inter
+    candidates
+      .withColumn("jaccard", round(inter.cast("double") / union, 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= maxDist,
+    * blocked by 16-bit chunks (a pair within distance d must agree exactly
+    * on at least one of ceil(64/16)=4 chunks when d < 4 — pigeonhole), so
+    * the join is chunk-bucketed, not n².
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 8): DataFrame = {
+    val hashes = transform(array_distinct(split(col("text"), " ")), t => xxhash64(t))
+    // per-bit majority: sum over tokens of bit_j ? 1 : -1
+    val sim = transform(sequence(lit(0), lit(63)), j =>
+      when(aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(call_function("shiftrightunsigned", h, j).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L))) > 0, lit(1L)).otherwise(lit(0L)))
+    val simhashCol = aggregate(
+      zip_with(sim, sequence(lit(0), lit(63)), (bit, idx) => call_function("shiftleft", bit, idx).cast("long")),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    val withSim = docs.select(col("doc_id"), simhashCol.as("simhash"))
+    // 4 × 16-bit chunk blocking
+    val chunked = withSim.select(col("doc_id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)), c =>
+        call_function("shiftrightunsigned", col("simhash"), c * 16).bitwiseAND(lit(0xffffL))))
+        .as(Seq("chunk", "chunk_val")))
+    val a = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    val xorBits = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", xorBits)
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

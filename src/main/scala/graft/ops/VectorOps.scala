@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an `embeddings(vec_id, embedding: array<float>,
+  * label)` table: brute-force cosine top-k (the exactness baseline) and a
+  * random-hyperplane-LSH bucketed variant (the scale path).
+  *
+  * Dot products use `zip_with` + `aggregate` — Catalyst higher-order
+  * functions, codegen'd, strict left-fold so the summation order is
+  * deterministic (and matches a simple loop, e.g. DuckDB's, for the oracle).
+  */
+object VectorOps {
+
+  private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k neighbors per query vector.
+    *
+    * O(n²) pairs — correct-by-construction baseline; at scale the pair join
+    * shuffles on nothing (cross join within broadcast of the smaller side).
+    * Use [[lshTopK]] beyond ~10^5 vectors.
+    */
+  def bruteForceTopK(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("query_id"),
+      toDouble(col("embedding")).as("va"))
+    val b = embeddings.select(col("vec_id").as("neighbor_id"),
+      toDouble(col("embedding")).as("vb"))
+    val pairs = a.join(b, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane sign: for plane p and dimension
+    * d, weight = ±1 derived from a hash — seedless and reproducible.
+    */
+  private def planeSign(p: Int, d: Column): Column =
+    when(pmod(xxhash64(concat_ws(":", lit(p), d.cast("string"))), lit(2)) === 0, lit(1.0))
+      .otherwise(lit(-1.0))
+
+  /** Random-hyperplane LSH bucket signature: `nPlanes` sign bits of the dot
+    * product with ±1 hyperplanes.
+    */
+  def lshBucket(embedding: Column, nPlanes: Int): Column =
+    lshBucketAt(embedding, nPlanes, 0)
+
+  /** Bucket from planes [planeOffset, planeOffset + nPlanes) — distinct
+    * plane sets per LSH table (scaling the input would NOT change sign bits).
+    */
+  def lshBucketAt(embedding: Column, nPlanes: Int, planeOffset: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val signed = zip_with(embedding, sequence(lit(0), size(embedding) - 1),
+        (x, i) => x.cast("double") * planeSign(planeOffset + p, i))
+      val s = aggregate(signed, lit(0.0), (acc, x) => acc + x)
+      when(s >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: exact cosine *within* each bucket.
+    * Multi-probe via `nTables` independent sign-LSH tables keeps recall up;
+    * the join key (table, bucket) bounds the pair blow-up. This is the IVF-
+    * style scale path: shuffle ∝ bucket sizes, not n².
+    */
+  def lshTopK(embeddings: DataFrame, k: Int = 3, nPlanes: Int = 4,
+              nTables: Int = 8): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      embeddings.select(col("vec_id"), col("embedding"),
+        lit(t).as("table"),
+        lshBucketAt(col("embedding"), nPlanes, planeOffset = t * nPlanes).as("bucket"))
+    }.reduce(_ unionByName _)
+    val a = tables.select(col("table"), col("bucket"),
+      col("vec_id").as("query_id"), toDouble(col("embedding")).as("va"))
+    val b = tables.select(col("table"), col("bucket"),
+      col("vec_id").as("neighbor_id"), toDouble(col("embedding")).as("vb"))
+    val pairs = a.join(b, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("va"), col("vb"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold (dedup view). */
+  def cosineNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("vec_a"), toDouble(col("embedding")).as("va"))
+    val b = embeddings.select(col("vec_id").as("vec_b"), toDouble(col("embedding")).as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+}

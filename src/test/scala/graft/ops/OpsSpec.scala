@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data op semantics that the DuckDB oracle can't check:
+  * LSH recall vs planted duplicates / brute-force ground truth, and the
+  * multimodal stub plumbing.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ops-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def embeddings: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def withMutations(d: DataFrame, dropTokens: Int): DataFrame = {
+    val mutated = d.select((col("doc_id") + 1000000).as("doc_id"),
+      array_join(slice(split(col("text"), " "), lit(1),
+        greatest(size(split(col("text"), " ")) - dropTokens, lit(1))), " ").as("text"))
+    d.select("doc_id", "text").unionByName(mutated)
+  }
+
+  test("minhash-lsh recovers planted near-duplicates") {
+    val corpus = withMutations(docs, 3)
+    // exact ground truth: planted pairs whose token-set jaccard really is >= 0.9
+    val a = corpus.select(col("doc_id").as("doc_a"),
+      array_distinct(split(col("text"), " ")).as("ta"))
+    val b = corpus.select((col("doc_id") - 1000000).as("doc_a"),
+      array_distinct(split(col("text"), " ")).as("tb"))
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    val uni = size(col("ta")) + size(col("tb")) - inter
+    val truePairs = a.join(b, "doc_a")
+      .filter(inter.cast("double") / uni >= 0.9).count()
+    val pairs = TextOps.minhashLsh(corpus, threshold = 0.9)
+    val planted = pairs.filter(col("doc_b") - col("doc_a") === 1000000).count()
+    assert(truePairs > 0)
+    assert(planted >= (truePairs * 0.95).toLong,
+      s"found $planted of $truePairs true planted dups")
+    // verified pairs really are above the threshold
+    assert(pairs.filter(col("jaccard") < 0.9).isEmpty)
+  }
+
+  test("simhash chunk-blocked pairs recover most planted near-duplicates") {
+    val n = docs.count()
+    val pairs = TextOps.simhashPairs(withMutations(docs, 2), maxDist = 8)
+    val planted = pairs.filter(col("doc_b") - col("doc_a") === 1000000).count()
+    // 16-bit chunk blocking guarantees recall only for dist<4; measured
+    // recall stays well above the documented bound
+    assert(planted >= (n * 0.7).toLong, s"found $planted of $n planted dups")
+  }
+
+  test("lsh ANN reaches usable recall vs brute force") {
+    val brute = VectorOps.bruteForceTopK(embeddings, 3)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.lshTopK(embeddings, 3)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall@3 = $recall") // weakly-clustered random data
+  }
+
+  test("exact dedup collapses a duplicated corpus") {
+    val d = docs
+    val n = d.count()
+    val deduped = TextOps.dedupExact(d.unionByName(d))
+    assert(deduped.count() == n)
+    assert(deduped.filter(col("n_copies") =!= 2).isEmpty)
+  }
+
+  test("multimodal stub: schema, determinism, and byte metadata") {
+    val meta = Multimodal.decodeMeta(Multimodal.asMedia(docs)).toDF().cache()
+    assert(meta.count() == docs.count())
+    // n_bytes equals utf-8 length of the source text
+    val joined = meta.join(docs, "doc_id")
+      .filter(col("n_bytes") =!= length(encode(col("text"), "utf-8")))
+    assert(joined.isEmpty)
+    // decode is deterministic: second run produces identical rows
+    val meta2 = Multimodal.decodeMeta(Multimodal.asMedia(docs)).toDF()
+    assert(meta.exceptAll(meta2).isEmpty && meta2.exceptAll(meta).isEmpty)
+    // feature vector has the declared batch shape
+    assert(meta.filter(size(col("feature")) =!= 8).isEmpty)
+    meta.unpersist()
+  }
+}
