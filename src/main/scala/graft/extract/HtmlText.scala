@@ -119,6 +119,23 @@ object HtmlText {
   private def isTagNameStart(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
+  /** Per-thread memo of the last parse, keyed by string identity: one page's
+    * extraction parses the same html String many times (title, LD scripts,
+    * field banks, anti-hallucination passes). Trees must be treated as
+    * read-only by callers (nothing in this codebase mutates them).
+    */
+  private val lastParse = new ThreadLocal[(String, Elem)]
+
+  def parseCached(html: String): Elem = {
+    val memo = lastParse.get()
+    if (memo != null && (memo._1 eq html)) memo._2
+    else {
+      val root = parse(html)
+      lastParse.set((html, root))
+      root
+    }
+  }
+
   /** Parse to a document root Elem. */
   def parse(html: String): Elem = {
     val root = new Elem("[document]", Nil)
@@ -282,17 +299,21 @@ object HtmlText {
   def getText(html: String, separator: String = " ", strip: Boolean = true): String =
     parse(html).getText(separator, strip)
 
+  /** getText via the per-thread parse memo (hot path: full-page inputs). */
+  def getTextCached(html: String, separator: String = " ", strip: Boolean = true): String =
+    parseCached(html).getText(separator, strip)
+
   /** get_text after decomposing script/style, as in
     * jsonld_adapter.py:311-313 / adapter_1111.py:31-33.
     * (Script/style text is already excluded from getText, so this is the
     * same operation; kept for intent clarity.)
     */
   def getTextNoScript(html: String, separator: String = " ", strip: Boolean = true): String =
-    getText(html, separator, strip)
+    getTextCached(html, separator, strip)
 
   /** `soup.title.string.strip() if soup.title else ""` (crawl_service.py:319-320) */
   def pageTitle(html: String): String = {
-    val root = parse(html)
+    val root = parseCached(html)
     root.find("title").flatMap(_.string).map(Py.strip).getOrElse("")
   }
 }

@@ -17,7 +17,7 @@ object JsonLd {
     */
   def extract(html: String): List[JObj] = {
     if (html == null || html.isEmpty) return Nil
-    val root = HtmlText.parse(html)
+    val root = HtmlText.parseCached(html)
 
     val nextData: Option[JV] =
       root.find("script", Map("id" -> "__NEXT_DATA__")).flatMap(_.string).flatMap { s =>

@@ -455,7 +455,7 @@ class AdapterYes123 extends Adapter {
     * is the live path. Replicated as-is.
     */
   override def extractCompanyFieldFromHtml(html: String, fieldType: String): Option[String] = {
-    val root = HtmlText.parse(html)
+    val root = HtmlText.parseCached(html)
     val mapping: Map[String, List[String]] = Map(
       "capital" -> List("資本額：", "資本金額：", "本金額：", "資本額", "資本金額", "本金額"),
       "employees" -> List("員工人數：", "員工數：", "員工人數", "員工數"),
@@ -631,7 +631,7 @@ class AdapterYourator extends Adapter {
     html match {
       case None => None
       case Some(h) =>
-        val root = HtmlText.parse(h)
+        val root = HtmlText.parseCached(h)
         val cityBadge = extractLocationBadgeCity(root)
         val addresses = scala.collection.mutable.LinkedHashSet.empty[String]
         for (a <- root.findAllByTagAndHref("a", ReMapsHref)) {
@@ -742,7 +742,7 @@ class AdapterYourator extends Adapter {
 
   /** adapter_yourator.py:273-300 — CSS-class extraction first. */
   override def extractCompanyFieldFromHtml(html: String, fieldType: String): Option[String] = {
-    val root = HtmlText.parse(html)
+    val root = HtmlText.parseCached(html)
     if (fieldType == "capital") {
       root.findByClass("basic-info__icon--capital").foreach(el =>
         return Some(el.getText(strip = true)))

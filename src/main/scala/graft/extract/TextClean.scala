@@ -18,6 +18,7 @@ object TextClean {
   val ReDistrict = "([\\u4e00-\\u9fff]{1,5}?[區市鎮鄉])".r
   val ReCityDistrict = "([\\u4e00-\\u9fff]{2}[縣市])([\\u4e00-\\u9fff]{1,5}?[區市鎮鄉])".r
   private val ReWhitespace = "(?U)\\s+".r
+  private val ReTrailingParen = "(?U)\\s*\\(.*?\\)$".r
   val ReNumericOnly = "(?U)[\\d.]+".r
   private val ReYi = "(?U)([\\d.]+)(?=億)".r
   private val ReWan = "(?U)([\\d.]+)(?=萬)".r
@@ -143,7 +144,7 @@ object TextClean {
       s = ReTaiwanEnd.replaceAllIn(s, "")
       val m = ReCityDistrict.findFirstMatchIn(s).orElse(ReCity.findFirstMatchIn(s))
       m.foreach(mm => s = s.substring(mm.start))
-      s = "(?U)\\s*\\(.*?\\)$".r.replaceAllIn(s, "")
+      s = ReTrailingParen.replaceAllIn(s, "")
       val trailingNoise = List("追蹤", "關於我們", "職務類別", "儲存", "應徵", "分享",
         "檢舉", "回報", "查看地圖", "看地圖", "薪資待遇", "上班時段", "休假制度", "工作性質")
       trailingNoise.foreach { noise =>

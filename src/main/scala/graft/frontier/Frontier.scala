@@ -86,10 +86,47 @@ object Politeness {
       .withColumn("_r1", row_number().over(w1))
       .filter(col("_r1") <= col("budget"))
       .drop("_salt", "_r1")
-    val w2 = Window.partitionBy(col("host")).orderBy(orderCols: _*)
-    phase1
-      .withColumn("sched_rank", row_number().over(w2))
+    rankWithinHost(phase1)
       .filter(col("sched_rank") <= col("budget"))
+  }
+
+  /** Exact, fully parallel per-host ranking by the priority total order.
+    *
+    * `row_number over (partition by host)` would sort each mega-host in ONE
+    * task — the thing that dies at 10^10. Instead: range-repartition on
+    * (host, key) so each host spans consecutive sorted partitions, take a
+    * local row_number per (host, physical partition) — parallel, group sizes
+    * bounded by partition size — then add per-(host, partition) prefix-sum
+    * offsets (a tiny hosts×partitions table collected to the driver and
+    * broadcast back). Global rank = local rank + offset; deterministic for
+    * any partition count because it derives only from the total key order
+    * (ties impossible: canon_url is unique).
+    */
+  def rankWithinHost(frontier: DataFrame): DataFrame = {
+    val sortKeys = col("host").asc +: orderCols
+    val ranged = frontier
+      .repartitionByRange(sortKeys: _*)
+      .withColumn("_pid", spark_partition_id())
+    val localW = Window.partitionBy(col("host"), col("_pid")).orderBy(orderCols: _*)
+    // localCheckpoint pins the range-partitioner bounds (they come from
+    // sampling): the counts action and the final join must see the SAME
+    // physical partitioning or the offsets would be wrong.
+    val local = ranged.withColumn("_lr", row_number().over(localW)).localCheckpoint()
+    val counts = local.groupBy("host", "_pid").count().collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val offsets: Seq[(String, Int, Long)] =
+      counts.groupBy(_._1).toSeq.flatMap { case (host, rows) =>
+        var acc = 0L
+        rows.sortBy(_._2).map { case (_, pid, n) =>
+          val off = acc; acc += n; (host, pid, off)
+        }.toSeq
+      }
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toDF("host", "_pid", "_offset")
+    local.join(broadcast(offsetsDf), Seq("host", "_pid"))
+      .withColumn("sched_rank", (col("_lr") + col("_offset")).cast("int"))
+      .drop("_pid", "_lr", "_offset")
   }
 
   /** Robots rules: drop URLs whose path starts with any denied prefix of its
@@ -101,16 +138,41 @@ object Politeness {
     frontier.filter(col("robots_deny").isNull || !denied)
   }
 
-  /** Adaptive-rate fold (throttler.py:125-156): ×1.1 after a 50-success
+  /** Adaptive-rate law (throttler.py:125-156): ×1.1 after a 50-success
     * streak capped at 1.5×base; ×0.7 after a 429 floored at 0.1×base.
-    * Batch analog over per-round metrics: one multiplicative step per round.
+    * Batch analog: one multiplicative step per committed round.
     */
-  def adaptRate(baseRate: Column, currentRate: Column,
-                successes: Column, rateLimited: Column): Column = {
-    val up = least(currentRate * 1.1, baseRate * 1.5)
-    val down = greatest(currentRate * 0.7, baseRate * 0.1)
-    when(rateLimited > 0, down)
-      .when(successes >= 50, up)
-      .otherwise(currentRate)
+  def adaptRateStep(base: Double, current: Double,
+                    successes: Long, rateLimited: Long): Double = {
+    if (rateLimited > 0) math.max(current * 0.7, base * 0.1)
+    else if (successes >= 50) math.min(current * 1.1, base * 1.5)
+    else current
+  }
+
+  /** Fold committed per-host round metrics into an effective-rate policy.
+    * The history is tiny (hosts × rounds) — folded on the driver, broadcast
+    * back as `eff_rate_per_s`.
+    */
+  def adaptPolicy(policy: DataFrame, metricsOpt: Option[DataFrame]): DataFrame = {
+    val spark = policy.sparkSession
+    import spark.implicits._
+    val history: Map[String, Seq[(Int, Long, Long)]] = metricsOpt match {
+      case None => Map.empty
+      case Some(m) =>
+        m.select(col("host"), col("round").cast("int"),
+            col("success_requests").cast("long"),
+            coalesce(col("rate_limited"), lit(0L)).cast("long"))
+          .collect()
+          .map(r => (r.getString(0), (r.getInt(1), r.getLong(2), r.getLong(3))))
+          .groupBy(_._1).map { case (h, rows) => h -> rows.map(_._2).sortBy(_._1).toSeq }
+    }
+    val base = policy.select("host", "rate_per_s").as[(String, Double)].collect().toMap
+    val eff = base.map { case (host, b) =>
+      val folded = history.getOrElse(host, Seq.empty)
+        .foldLeft(b) { case (cur, (_, succ, limited)) => adaptRateStep(b, cur, succ, limited) }
+      host -> folded
+    }
+    val effDf = eff.toSeq.toDF("host", "eff_rate_per_s")
+    policy.join(effDf, Seq("host"), "left")
   }
 }

@@ -49,26 +49,43 @@ object CrawlRound {
       case None => deduped
     }
 
-    // P2 policy join (broadcast dim) + robots + budget
+    // P2 policy join (broadcast dim) + P4 adaptive-rate fold + budget.
+    // Rates fold over committed per-host round metrics (throttler.py:125-156
+    // law: x1.1 per >=50-success round capped 1.5x base; x0.7 on rate-limit
+    // floored 0.1x base — rate-limits don't occur against a static pages
+    // table, but the mechanism is live and tested).
+    val adaptedPolicy = Politeness.adaptPolicy(policy, state.readCommitted("metrics"))
     val withPolicy = unseen
-      .join(broadcast(policy), Seq("host"), "left")
+      .join(broadcast(adaptedPolicy), Seq("host"), "left")
       .withColumn("budget",
-        greatest(lit(1), floor(coalesce(col("rate_per_s"), lit(2.0)) * roundSeconds)).cast("int"))
+        greatest(lit(1), floor(coalesce(col("eff_rate_per_s"), lit(2.0)) * roundSeconds)).cast("int"))
     val allowed = Politeness.applyRobots(withPolicy)
 
     // P3 cooling hosts excluded for this round
-    val cooled = state.readCommitted("cooling") match {
+    val cooled0 = state.readCommitted("cooling") match {
       case Some(cool) =>
         allowed.join(broadcast(cool.filter(col("until_round") > round).select("host")),
           Seq("host"), "left_anti")
       case None => allowed
     }
 
+    // The round frontier feeds several actions (budget ranking, remainder,
+    // category completion) — materialize once instead of recomputing the
+    // seed→canon→bloom lineage per action.
+    val cooled = cooled0.cache()
+    var _t = System.nanoTime()
+    def lap(name: String): Unit = {
+      val now = System.nanoTime()
+      System.err.println(f"[round $round] $name: ${(now - _t) / 1e9}%.2f s")
+      _t = now
+    }
     val frontierCount = cooled.count()
+    lap("frontier")
 
     // P1 window-ranked per-host budget (salted two-phase top-N)
     val selected = Politeness.selectBudget(cooled).cache()
     val scheduledCount = selected.count()
+    lap("budget-rank")
 
     // J4: "fetch" = equi-join against the pages table on canonical URL.
     // Only url+html+ts columns are read from the scan (column pruning).
@@ -78,6 +95,7 @@ object CrawlRound {
     val extracted = ExtractJob.extractPages(fetched).toDF().cache()
     val fetchedCount = extracted.count()
     val extractedCount = extracted.filter(col("extract_ok")).count()
+    lap("fetch+extract")
 
     // outputs (per-round partitions; a downstream MERGE-style compaction can
     // fold rounds, dedup keys are (platform, source_id))
@@ -88,6 +106,7 @@ object CrawlRound {
     state.writeDelta("out_locations", round, ExtractJob.locations(extracted))
     state.writeDelta("out_skills", round, ExtractJob.skills(extracted))
     state.writeDelta("out_junction", round, ExtractJob.junction(extracted))
+    lap("write-outputs")
     val jobsCount = state.readDeltaCount(s"out_jobs", round)
     val companiesCount = state.readDeltaCount(s"out_companies", round)
 
@@ -106,21 +125,24 @@ object CrawlRound {
         Seq("platform", "category_id"), "left_anti")
     state.writeDelta("crawled", round, doneCategories)
 
-    // A1-style health metrics per platform for this round
-    val metrics = extracted.groupBy("platform").agg(
+    // A1-style health metrics per platform+host for this round
+    val metrics = extracted.groupBy("platform", "host").agg(
       count(lit(1)).as("total_requests"),
       count(lit(1)).as("success_requests"),
       sum(when(col("extract_ok"), 1L).otherwise(0L)).as("extraction_success"),
       sum(when(!col("extract_ok"), 1L).otherwise(0L)).as("extraction_failure"),
       avg(col("latency_ms")).as("avg_latency_ms"),
       sum(when(!col("job_valid") && col("extract_ok"), 1L).otherwise(0L)).as("invalid_jobs"))
+      .withColumn("rate_limited", lit(0L)) // no 429s against a static pages table
       .withColumn("round", lit(round))
     state.writeDelta("metrics", round, metrics)
+    lap("state-deltas")
 
     state.commit(round, Map(
       "round" -> round, "frontier" -> frontierCount, "scheduled" -> scheduledCount,
       "fetched" -> fetchedCount, "extracted" -> extractedCount))
 
+    cooled.unpersist()
     selected.unpersist()
     extracted.unpersist()
     RoundStats(round, frontierCount, scheduledCount, fetchedCount, extractedCount,

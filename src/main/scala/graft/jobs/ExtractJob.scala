@@ -12,6 +12,7 @@ import java.sql.Date
 final case class FullExtract(
     canon_url: String,
     platform: String,
+    host: String,
     category_id: String,
     extract_ok: Boolean,
     job_valid: Boolean,
@@ -62,9 +63,9 @@ object ExtractJob {
     val spark = fetched.sparkSession
     import spark.implicits._
     fetched
-      .select("canon_url", "platform", "category_id", "html")
-      .as[(String, String, String, Array[Byte])]
-      .map { case (canonUrl, platform, categoryId, htmlBytes) =>
+      .select("canon_url", "platform", "host", "category_id", "html")
+      .as[(String, String, String, String, Array[Byte])]
+      .map { case (canonUrl, platform, host, categoryId, htmlBytes) =>
         val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
         val r = ExtractEntities(canonUrl, platform, html)
         val job = r.job
@@ -73,6 +74,7 @@ object ExtractJob {
         FullExtract(
           canon_url = canonUrl,
           platform = platform,
+          host = host,
           category_id = categoryId,
           extract_ok = r.extractOk,
           job_valid = r.jobValid,

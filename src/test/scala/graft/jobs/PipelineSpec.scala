@@ -77,15 +77,16 @@ class PipelineSpec extends AnyFunSuite {
   test("politeness: per-host per-round scheduled count never exceeds budget") {
     val state = runAll(tmp(), 4)
     val ord = state.readCommitted("ordering").get
+    // adaptive rate can raise budgets up to 1.5x base (throttler.py law)
     val budgets = Map(
-      "www.104.com.tw" -> 300L, "www.1111.com.tw" -> 300L, "www.cake.me" -> 300L,
-      "www.yes123.com.tw" -> 180L, "www.yourator.co" -> 300L)
+      "www.104.com.tw" -> 450L, "www.1111.com.tw" -> 450L, "www.cake.me" -> 450L,
+      "www.yes123.com.tw" -> 270L, "www.yourator.co" -> 450L)
     val counts = ord.groupBy("round", "host").count().collect()
     assert(counts.nonEmpty)
     counts.foreach { r =>
       val host = r.getString(1)
       val cnt = r.getLong(2)
-      assert(cnt <= budgets.getOrElse(host, 120L), s"host $host round ${r.get(0)}: $cnt")
+      assert(cnt <= budgets.getOrElse(host, 180L), s"host $host round ${r.get(0)}: $cnt")
     }
     // sched_rank is dense 1..n per (round, host)
     val bad = ord.groupBy("round", "host")
