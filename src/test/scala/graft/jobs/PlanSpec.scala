@@ -1,0 +1,84 @@
+package graft.jobs
+
+import graft.synth.PagesGen
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Physical-plan shape checks: predicate pushdown, column pruning (never
+  * read `html` when not extracting), broadcast of small dims, and
+  * whole-stage codegen presence — the "would this survive 100×" criteria
+  * from SURVEY.md §4.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-plan-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters are pushed to the parquet scan and columns pruned") {
+    val df = graft.Queries.all("q2_filter")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters:"), plan.take(800))
+    assert(plan.contains("GreaterThan(l_quantity") || plan.contains("IsNotNull(l_quantity"),
+      plan.take(800))
+    // ReadSchema carries only the 4 projected columns, not all 11
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"),
+      readSchema)
+  }
+
+  test("small dims are broadcast in q5") {
+    val plan = planOf(graft.Queries.all("q5_dims")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan.take(1200))
+  }
+
+  test("whole-stage codegen spans the aggregation pipeline in q1") {
+    val df = graft.Queries.all("q1_agg")(spark, sf)
+    df.collect() // finalize the AQE plan — codegen spans only show post-execution
+    val plan = planOf(df)
+    // compact plan notation marks WholeStageCodegen stages as "*(n)"
+    assert(plan.contains("*("), plan.take(1500))
+    // map-side partial aggregation is present (shuffle carries partial sums)
+    assert(plan.contains("partial_sum") || plan.contains("partial_"), plan.take(1500))
+  }
+
+  test("fetch join prunes the pages scan to url/html/warc_ts") {
+    // write a small pages table as parquet and build the fetch-join plan on it
+    val dir = Files.createTempDirectory("graft_plan_pages_").toString
+    PagesGen.pages(spark, 200L).write.mode("overwrite").parquet(dir)
+    val pages = spark.read.parquet(dir)
+    val sel = spark.createDataFrame(Seq(
+      ("https://www.104.com.tw/job/1x", "www.104.com.tw")))
+      .toDF("canon_url", "host")
+    val fetched = sel.join(
+      pages.select(col("url").as("canon_url"), col("html"), col("warc_ts")),
+      Seq("canon_url"), "inner")
+    val readSchema = planOf(fetched).linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("html"), readSchema)
+    // `text` and `lang` are never read — at 10^10 pages that's the
+    // difference between scanning 100 TB and scanning the needed columns
+    assert(!readSchema.contains("text") && !readSchema.contains("lang"), readSchema)
+  }
+
+  test("seen-set anti-join plans as a join, not a cartesian") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cand = Seq("a", "b", "c").toDF("canon_url")
+    val seen = Seq("a").toDF("canon_url")
+    val plan = planOf(graft.frontier.SeenSet.antiJoin(cand, seen, "canon_url", 1000L))
+    assert(plan.contains("LeftAnti"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+}
