@@ -210,6 +210,22 @@ object Queries {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // X25 analog: edit-distance similarity gate (built-in levenshtein);
+    // blocked by source to bound the pair join.
+    "d12_edit_distance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = docs.select(col("source"), col("doc_id").as("doc_a"),
+        substring(col("text"), 1, 30).as("pa"))
+      val b = docs.select(col("source"), col("doc_id").as("doc_b"),
+        substring(col("text"), 1, 30).as("pb"))
+      a.join(b, Seq("source"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("dist", levenshtein(col("pa"), col("pb")))
+        .filter(col("dist") <= 10)
+        .select("source", "doc_a", "doc_b", "dist")
+        .orderBy("source", "doc_a", "doc_b")
+    }),
+
     "m1_media_meta" -> ((s, dir) => {
       graft.ops.Multimodal.decodeMeta(
         graft.ops.Multimodal.asMedia(t(s, dir, "documents"))).toDF()
@@ -229,7 +245,7 @@ object Queries {
       var continue = true
       while (continue && round < 12) {
         val st = graft.jobs.CrawlRound.run(s, pages, seeds, policy, state, round, 60.0)
-        if (st.scheduled == 0) continue = false
+        if (st.frontier == 0) continue = false
         round += 1
       }
       state.readCommitted("ordering").get
@@ -371,6 +387,13 @@ object Queries {
         |    / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
         |     * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "d12_edit_distance" ->
+      """SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  levenshtein(substring(a.text,1,30), substring(b.text,1,30)) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE levenshtein(substring(a.text,1,30), substring(b.text,1,30)) <= 10
+        |ORDER BY a.source, doc_a, doc_b""".stripMargin,
     "m1_media_meta" ->
       """SELECT doc_id, 'image/fake' AS kind,
         |  octet_length(CAST(text AS BLOB)) AS n_bytes,

@@ -166,12 +166,17 @@ object HtmlText {
 
     while (i < n) {
       if (cdataElem != null) {
-        // CDATA mode: scan for </ \s* name
-        val re = ("(?i)</\\s*" + java.util.regex.Pattern.quote(cdataElem)).r
-        re.findFirstMatchIn(html.substring(i)) match {
-          case Some(m) =>
-            emitData(html.substring(i, i + m.start), 1)
-            i = i + m.start
+        // CDATA mode: scan for </ \s* name. Matcher region avoids the
+        // O(n^2) remainder copies a substring-per-script would cost.
+        val pat = java.util.regex.Pattern.compile(
+          "(?i)</\\s*" + java.util.regex.Pattern.quote(cdataElem))
+        val m0 = pat.matcher(html)
+        m0.region(i, n)
+        if (m0.find()) {
+          val mStart = m0.start();
+          {
+            emitData(html.substring(i, mStart), 1)
+            i = mStart
             // parse end tag
             val gt = html.indexOf('>', i)
             if (gt < 0) { emitData(html.substring(i), 1); i = n }
@@ -189,9 +194,10 @@ object HtmlText {
               }
               i = gt + 1
             }
-          case None =>
-            emitData(html.substring(i), 1)
-            i = n
+          }
+        } else {
+          emitData(html.substring(i), 1)
+          i = n
         }
       } else {
         val j0 = html.indexOf('<', i)
@@ -300,8 +306,19 @@ object HtmlText {
     parse(html).getText(separator, strip)
 
   /** getText via the per-thread parse memo (hot path: full-page inputs). */
-  def getTextCached(html: String, separator: String = " ", strip: Boolean = true): String =
-    parseCached(html).getText(separator, strip)
+  def getTextCached(html: String, separator: String = " ", strip: Boolean = true): String = {
+    // the (sep=" ", strip=true) full-page text is requested ~5x per page
+    // (field banks + anti-hallucination); memoize alongside the parse
+    if (separator == " " && strip) {
+      val memo = lastText.get()
+      if (memo != null && (memo._1 eq html)) return memo._2
+      val t = parseCached(html).getText(" ", strip = true)
+      lastText.set((html, t))
+      t
+    } else parseCached(html).getText(separator, strip)
+  }
+
+  private val lastText = new ThreadLocal[(String, String)]
 
   /** get_text after decomposing script/style, as in
     * jsonld_adapter.py:311-313 / adapter_1111.py:31-33.

@@ -27,9 +27,11 @@ object CrawlMain {
     val seed = opts.getOrElse("--seed", "42").toLong
     val pagesDir = opts.get("--pagesDir")
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-crawl")
+    // respect an externally supplied master (spark-submit --master
+    // local-cluster[N,C,M] / a real cluster); default to local[cpus]
+    val builder0 = SparkSession.builder().appName("graft-crawl")
+    val spark = (if (sys.props.contains("spark.master")) builder0
+                 else builder0.master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -58,7 +60,7 @@ object CrawlMain {
       roundStats += st
       totalScheduled += st.scheduled
       totalExtracted += st.extracted
-      if (st.scheduled == 0) continue = false
+      if (st.frontier == 0) continue = false
       round += 1
     }
     val wallSec = (System.nanoTime() - t0) / 1e9

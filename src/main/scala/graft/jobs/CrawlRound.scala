@@ -61,26 +61,28 @@ object CrawlRound {
         greatest(lit(1), floor(coalesce(col("eff_rate_per_s"), lit(2.0)) * roundSeconds)).cast("int"))
     val allowed = Politeness.applyRobots(withPolicy)
 
-    // P3 cooling hosts excluded for this round
-    val cooled0 = state.readCommitted("cooling") match {
-      case Some(cool) =>
-        allowed.join(broadcast(cool.filter(col("until_round") > round).select("host")),
-          Seq("host"), "left_anti")
-      case None => allowed
-    }
-
-    // The round frontier feeds several actions (budget ranking, remainder,
+    // The pending frontier feeds several actions (budget ranking, remainder,
     // category completion) — materialize once instead of recomputing the
     // seed→canon→bloom lineage per action.
-    val cooled = cooled0.cache()
+    val pending = allowed.cache()
     var _t = System.nanoTime()
     def lap(name: String): Unit = {
       val now = System.nanoTime()
       System.err.println(f"[round $round] $name: ${(now - _t) / 1e9}%.2f s")
       _t = now
     }
-    val frontierCount = cooled.count()
+    // frontier counts everything still owed, INCLUDING URLs parked behind a
+    // cooling host — the round loop must not stop while they are pending
+    val frontierCount = pending.count()
     lap("frontier")
+
+    // P3 cooling hosts excluded for this round only
+    val cooled = state.readCommitted("cooling") match {
+      case Some(cool) =>
+        pending.join(broadcast(cool.filter(col("until_round") > round).select("host")),
+          Seq("host"), "left_anti")
+      case None => pending
+    }
 
     // P1 window-ranked per-host budget (salted two-phase top-N)
     val selected = Politeness.selectBudget(cooled).cache()
@@ -88,13 +90,21 @@ object CrawlRound {
     lap("budget-rank")
 
     // J4: "fetch" = equi-join against the pages table on canonical URL.
-    // Only url+html+ts columns are read from the scan (column pruning).
-    val fetched = selected
-      .join(pages.select(col("url").as("canon_url"), col("html"), col("warc_ts")),
+    // Only url+html+ts columns are read from the scan (column pruning), and
+    // the join broadcasts the *frontier* side: a round's selected set is
+    // politeness-bounded (sum of host budgets), while the pages table is the
+    // 100 TB side — html must never shuffle. Extraction then runs map-side
+    // on the pages partitions.
+    val fetched = pages
+      .select(col("url").as("canon_url"), col("html"), col("warc_ts"))
+      .join(broadcast(selected.select("canon_url", "platform", "host", "category_id")),
         Seq("canon_url"), "inner")
     val extracted = ExtractJob.extractPages(fetched).toDF().cache()
-    val fetchedCount = extracted.count()
-    val extractedCount = extracted.filter(col("extract_ok")).count()
+    // single pass for both counts
+    val cRow = extracted.agg(count(lit(1)), sum(when(col("extract_ok"), 1L).otherwise(0L)))
+      .collect()(0)
+    val fetchedCount = cRow.getLong(0)
+    val extractedCount = if (cRow.isNullAt(1)) 0L else cRow.getLong(1)
     lap("fetch+extract")
 
     // outputs (per-round partitions; a downstream MERGE-style compaction can
@@ -106,6 +116,12 @@ object CrawlRound {
     state.writeDelta("out_locations", round, ExtractJob.locations(extracted))
     state.writeDelta("out_skills", round, ExtractJob.skills(extracted))
     state.writeDelta("out_junction", round, ExtractJob.junction(extracted))
+    // S7 quarantine: schema-invalid rows, persisted for drift monitoring
+    // (mirrors validator._save_sample; rows still land in out_jobs, as the
+    // reference persists regardless of validation)
+    state.writeDelta("quarantine", round,
+      extracted.filter(col("extract_ok") && !col("job_valid"))
+        .select("platform", "canon_url", "source_id", "title"))
     lap("write-outputs")
     val jobsCount = state.readDeltaCount(s"out_jobs", round)
     val companiesCount = state.readDeltaCount(s"out_companies", round)
@@ -119,8 +135,10 @@ object CrawlRound {
     state.writeDelta("seen", round, selected.select("canon_url"))
 
     // crawled delta (F7): categories with no remaining unscheduled URLs
-    val remaining = cooled.join(selected.select("canon_url"), Seq("canon_url"), "left_anti")
-    val doneCategories = cooled.select("platform", "category_id").distinct()
+    // (computed against the full pending set so cooled-host URLs keep their
+    // category open)
+    val remaining = pending.join(selected.select("canon_url"), Seq("canon_url"), "left_anti")
+    val doneCategories = pending.select("platform", "category_id").distinct()
       .join(remaining.select("platform", "category_id").distinct(),
         Seq("platform", "category_id"), "left_anti")
     state.writeDelta("crawled", round, doneCategories)
@@ -142,7 +160,7 @@ object CrawlRound {
       "round" -> round, "frontier" -> frontierCount, "scheduled" -> scheduledCount,
       "fetched" -> fetchedCount, "extracted" -> extractedCount))
 
-    cooled.unpersist()
+    pending.unpersist()
     selected.unpersist()
     extracted.unpersist()
     RoundStats(round, frontierCount, scheduledCount, fetchedCount, extractedCount,

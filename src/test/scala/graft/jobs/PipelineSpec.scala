@@ -35,7 +35,7 @@ class PipelineSpec extends AnyFunSuite {
     var continue = true
     while (continue && round < stopAfter) {
       val st = CrawlRound.run(spark, pages, seeds, policy, state, round, RoundSeconds)
-      if (st.scheduled == 0) continue = false
+      if (st.frontier == 0) continue = false
       round += 1
     }
     state
@@ -109,6 +109,30 @@ class PipelineSpec extends AnyFunSuite {
     val dup = state.readCommitted("seen").get
       .groupBy("canon_url").count().filter(col("count") > 1)
     assert(dup.isEmpty)
+  }
+
+  test("cooling: a cooled host is excluded until its round expires") {
+    import spark.implicits._
+    val dir = tmp()
+    val state = new RoundState(spark, dir)
+    // pre-seed a committed round 0 that cools the mega-host through round 2
+    state.writeDelta("cooling", 0,
+      Seq(("www.104.com.tw", 3)).toDF("host", "until_round"))
+    state.commit(0, Map("round" -> 0, "seeded" -> "cooling"))
+    runAll(dir, 4)
+    val ord = state.readCommitted("ordering").get.cache()
+    val earlyHits = ord.filter(col("host") === "www.104.com.tw" && col("round") < 3).count()
+    val lateHits = ord.filter(col("host") === "www.104.com.tw" && col("round") >= 3).count()
+    assert(earlyHits == 0, s"cooled host scheduled early: $earlyHits")
+    assert(lateHits > 0, "cooled host never recovered")
+    ord.unpersist()
+  }
+
+  test("quarantine delta captures schema-invalid rows") {
+    val state = runAll(tmp(), 4)
+    val quarantine = state.readCommitted("quarantine").get
+    val jobs = state.readCommitted("out_jobs").get
+    assert(quarantine.count() == jobs.filter(!col("is_valid")).count())
   }
 
   test("acceptance audits ported from small_sample_test_plan.md / verify_data.py") {

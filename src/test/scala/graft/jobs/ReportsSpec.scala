@@ -28,7 +28,7 @@ class ReportsSpec extends AnyFunSuite {
     var continue = true
     while (continue && round < 10) {
       val st = CrawlRound.run(spark, pages, seeds, policy, s, round, 30.0)
-      if (st.scheduled == 0) continue = false
+      if (st.frontier == 0) continue = false
       round += 1
     }
     s
@@ -76,6 +76,17 @@ class ReportsSpec extends AnyFunSuite {
     assert(Reports.countsByPlatform(jobs).count() == 5)
     assert(Reports.antiHallucinationViolations(
       state.readCommitted("out_companies").get).isEmpty)
+  }
+
+  test("typed EWMA aggregator matches the sequential fold") {
+    import spark.implicits._
+    val obs = Seq((0L, 10.0), (1L, 20.0), (2L, 30.0), (3L, 40.0))
+    // shuffle arrival order; the aggregator must sort by seq before folding
+    val df = Seq(obs(2), obs(0), obs(3), obs(1)).toDF("seq", "value")
+    val got = df.select(EwmaAggregator.ewma(0.1)(col("seq"), col("value")))
+      .collect()(0).getDouble(0)
+    val expected = obs.map(_._2).reduceLeft((acc, v) => 0.9 * acc + 0.1 * v)
+    assert(math.abs(got - expected) < 1e-9, s"$got vs $expected")
   }
 
   test("CSV export: UTF-8 BOM, header, ISO dates") {
