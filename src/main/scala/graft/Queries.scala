@@ -133,6 +133,7 @@ object Queries {
       val pages = graft.synth.PagesGen.pages(s, 2000L).toDF()
         .withColumn("canon_url", col("url"))
         .withColumn("platform", crawlPlatformOf(col("url")))
+        .withColumn("host", Canon.host(col("url")))
         .withColumn("category_id", lit("adhoc"))
         .filter(col("platform").isNotNull)
       graft.jobs.ExtractJob.jobs(graft.jobs.ExtractJob.extractPages(pages).toDF())
