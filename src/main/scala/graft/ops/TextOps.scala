@@ -150,11 +150,16 @@ object TextOps {
   }
 
   /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= maxDist,
-    * blocked by 16-bit chunks (a pair within distance d must agree exactly
-    * on at least one of ceil(64/16)=4 chunks when d < 4 — pigeonhole), so
-    * the join is chunk-bucketed, not n².
+    * blocked by 8 × 8-bit chunks: a pair within hamming distance d <= 7 must
+    * agree exactly on at least one of the 8 chunks (pigeonhole), so the join
+    * is chunk-bucketed, not n², and candidate generation is LOSSLESS for the
+    * default maxDist (the round-1 4×16 blocking only guaranteed d<=3 while
+    * defaulting maxDist=8 — a silent recall gap, fixed here).
     */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 8): DataFrame = {
+  /** 64-bit SimHash of whitespace-token sets: per-bit majority vote over
+    * xxhash64(token). Pure Catalyst higher-order functions (codegen'd).
+    */
+  def withSimhash(docs: DataFrame): DataFrame = {
     val hashes = transform(array_distinct(split(col("text"), " ")), t => xxhash64(t))
     // per-bit majority: sum over tokens of bit_j ? 1 : -1
     val sim = transform(sequence(lit(0), lit(63)), j =>
@@ -164,11 +169,16 @@ object TextOps {
     val simhashCol = aggregate(
       zip_with(sim, sequence(lit(0), lit(63)), (bit, idx) => call_function("shiftleft", bit, idx).cast("long")),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
-    val withSim = docs.select(col("doc_id"), simhashCol.as("simhash"))
-    // 4 × 16-bit chunk blocking
+    docs.select(col("doc_id"), simhashCol.as("simhash"))
+  }
+
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 7, "8-chunk blocking guarantees recall only for maxDist <= 7")
+    val withSim = withSimhash(docs)
+    // 8 × 8-bit chunk blocking (lossless for hamming <= 7)
     val chunked = withSim.select(col("doc_id"), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(3)), c =>
-        call_function("shiftrightunsigned", col("simhash"), c * 16).bitwiseAND(lit(0xffffL))))
+      posexplode(transform(sequence(lit(0), lit(7)), c =>
+        call_function("shiftrightunsigned", col("simhash"), c * 8).bitwiseAND(lit(0xffL))))
         .as(Seq("chunk", "chunk_val")))
     val a = chunked.select(col("chunk"), col("chunk_val"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
@@ -181,5 +191,28 @@ object TextOps {
       .withColumn("hamming", xorBits)
       .filter(col("hamming") <= maxDist)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** SimHash-blocked near-dup with exact-Jaccard verification: simhash
+    * recalls (lossless for maxDist <= 7 by the 8-chunk pigeonhole), exact
+    * token-set Jaccard decides. Output is exactly {pairs with J >= threshold}
+    * whenever every such pair lies within hamming(maxDist) — which a DuckDB
+    * all-pairs oracle can certify independently. The two id-equi joins that
+    * re-attach text shuffle on doc_id only (narrow keys, no html-sized
+    * payloads).
+    */
+  def simhashNearDup(docs: DataFrame, maxDist: Int = 7,
+                     threshold: Double = 0.9): DataFrame = {
+    val pairs = simhashPairs(docs, maxDist)
+    val ta = docs.select(col("doc_id").as("doc_a"),
+      array_distinct(tokens(col("text"))).as("toks_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"),
+      array_distinct(tokens(col("text"))).as("toks_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    val union = size(col("toks_a")) + size(col("toks_b")) - inter
+    pairs.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+      .withColumn("jaccard", round(inter.cast("double") / union, 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
   }
 }

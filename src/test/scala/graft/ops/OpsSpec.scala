@@ -53,22 +53,39 @@ class OpsSpec extends AnyFunSuite {
 
   test("simhash chunk-blocked pairs recover most planted near-duplicates") {
     val n = docs.count()
-    val pairs = TextOps.simhashPairs(withMutations(docs, 2), maxDist = 8)
+    val pairs = TextOps.simhashPairs(withMutations(docs, 2), maxDist = 7)
     val planted = pairs.filter(col("doc_b") - col("doc_a") === 1000000).count()
-    // 16-bit chunk blocking guarantees recall only for dist<4; measured
-    // recall stays well above the documented bound
-    assert(planted >= (n * 0.7).toLong, s"found $planted of $n planted dups")
+    // 8x8-bit chunk blocking is LOSSLESS for hamming <= 7 (pigeonhole), so
+    // misses can only be pairs whose true hamming exceeds maxDist
+    assert(planted >= (n * 0.8).toLong, s"found $planted of $n planted dups")
   }
 
-  test("lsh ANN reaches usable recall vs brute force") {
+  test("simhash blocking is lossless: chunk-bucketed pairs equal all-pairs for hamming <= 7") {
+    val corpus = withMutations(docs, 2).limit(300)
+    val blocked = TextOps.simhashPairs(corpus, maxDist = 7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth: ALL pairs with hamming <= 7 (unblocked n²)
+    val sigs = TextOps.withSimhash(corpus)
+    val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    val brute = a.join(b, col("doc_a") < col("doc_b"))
+      .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 7)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"blocked=${blocked.size} brute=${brute.size} missing=${(brute -- blocked).take(5)}")
+    assert(brute.nonEmpty)
+  }
+
+  test("lsh ANN reaches high recall vs brute force at the oracle's params") {
     val brute = VectorOps.bruteForceTopK(embeddings, 3)
       .select(col("query_id"), col("neighbor_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = VectorOps.lshTopK(embeddings, 3)
+    val lsh = VectorOps.lshTopK(embeddings, 3, nPlanes = 2, nTables = 32)
       .select(col("query_id"), col("neighbor_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & lsh).size.toDouble / brute.size
-    assert(recall >= 0.3, s"recall@3 = $recall") // weakly-clustered random data
+    assert(recall >= 0.999, s"recall@3 = $recall") // exactness params (d10 oracle)
   }
 
   test("exact dedup collapses a duplicated corpus") {
