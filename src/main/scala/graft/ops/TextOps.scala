@@ -149,13 +149,6 @@ object TextOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= maxDist,
-    * blocked by 8 × 8-bit chunks: a pair within hamming distance d <= 7 must
-    * agree exactly on at least one of the 8 chunks (pigeonhole), so the join
-    * is chunk-bucketed, not n², and candidate generation is LOSSLESS for the
-    * default maxDist (the round-1 4×16 blocking only guaranteed d<=3 while
-    * defaulting maxDist=8 — a silent recall gap, fixed here).
-    */
   /** 64-bit SimHash of whitespace-token sets: per-bit majority vote over
     * xxhash64(token). Pure Catalyst higher-order functions (codegen'd).
     */
@@ -172,6 +165,13 @@ object TextOps {
     docs.select(col("doc_id"), simhashCol.as("simhash"))
   }
 
+  /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= maxDist,
+    * blocked by 8 × 8-bit chunks: a pair within hamming distance d <= 7 must
+    * agree exactly on at least one of the 8 chunks (pigeonhole), so the join
+    * is chunk-bucketed, not n², and candidate generation is LOSSLESS for any
+    * permitted maxDist (the round-1 4×16 blocking only guaranteed d<=3 while
+    * defaulting maxDist=8 — a silent recall gap, fixed here).
+    */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 7, "8-chunk blocking guarantees recall only for maxDist <= 7")
     val withSim = withSimhash(docs)
