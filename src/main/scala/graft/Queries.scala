@@ -444,8 +444,10 @@ object Queries {
     // engine's ordering table (incl. salted two-phase top-N and the
     // cross-round seen/cooling/budget effects baked into the inputs).
     "crawl_rounds" ->
-      s"""SELECT round, host, sched_rank, canon_url, platform, category_id FROM (
-         |  SELECT round, host, canon_url, platform, category_id, budget,
+      s"""SELECT round, host, sched_rank, canon_url, platform, category_id,
+         |       fetch_kind FROM (
+         |  SELECT round, host, canon_url, platform, category_id, fetch_kind,
+         |    budget,
          |    row_number() OVER (PARTITION BY round, host
          |                       ORDER BY priority DESC, canon_url) AS sched_rank
          |  FROM ${OracleAux.rp("crawl_rounds_input")})

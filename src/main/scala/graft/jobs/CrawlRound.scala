@@ -17,18 +17,29 @@ object CrawlRound {
 
   final case class RoundStats(
       round: Int, frontier: Long, scheduled: Long, fetched: Long,
-      extracted: Long, jobs: Long, companies: Long)
+      extracted: Long, jobs: Long, companies: Long, discovered: Long = 0L)
 
   def run(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
           policy: DataFrame, state: RoundState, round: Int,
-          roundSeconds: Double): RoundStats = {
+          roundSeconds: Double, categoryLimit: Option[Int] = None): RoundStats = {
+
+    // F3: the frontier GROWS — candidates discovered from listing pages
+    // fetched in committed rounds join the seed list (discovery_service.py
+    // semantics; the reference's frontier is built from category-page
+    // scrapes, not a static list)
+    val seedCols = Seq("url", "platform", "category_id", "priority")
+    val seedsIn = state.readCommitted("discovered") match {
+      case Some(d) => seeds.selectExpr(seedCols: _*)
+        .unionByName(d.selectExpr(seedCols: _*))
+      case None => seeds.selectExpr(seedCols: _*)
+    }
 
     // F2 resume: drop categories already fully crawled in committed rounds
     val crawled = state.readCommitted("crawled")
     val afterResume = crawled match {
-      case Some(c) => seeds.join(broadcast(c.select("platform", "category_id").distinct()),
+      case Some(c) => seedsIn.join(broadcast(c.select("platform", "category_id").distinct()),
         Seq("platform", "category_id"), "left_anti")
-      case None => seeds
+      case None => seedsIn
     }
 
     // F4 canon + F5 intra-batch dedup (deterministic keep-best by priority)
@@ -36,6 +47,7 @@ object CrawlRound {
       .withColumn("canon_url", Canon.canonUrl(col("url")))
       .withColumn("host", Canon.host(col("url")))
       .withColumn("path", Canon.path(col("url")))
+      .withColumn("fetch_kind", graft.frontier.Discovery.fetchKind(col("url")))
     val dedupW = Window.partitionBy(col("canon_url"))
       .orderBy(col("priority").desc, col("url").asc)
     val deduped = canonized.withColumn("_rn", row_number().over(dedupW))
@@ -91,7 +103,8 @@ object CrawlRound {
     // from these bytes and must reproduce the ordering table exactly.
     state.writeDelta("rank_input", round,
       cooled.select(lit(round).as("round"), col("host"), col("canon_url"),
-        col("platform"), col("category_id"), col("priority"), col("budget")))
+        col("platform"), col("category_id"), col("fetch_kind"),
+        col("priority"), col("budget")))
 
     // P1 window-ranked per-host budget (salted two-phase top-N)
     val selected = Politeness.selectBudget(cooled).cache()
@@ -108,7 +121,18 @@ object CrawlRound {
       .select(col("url").as("canon_url"), col("html"), col("warc_ts"))
       .join(broadcast(selected.select("canon_url", "platform", "host", "category_id")),
         Seq("canon_url"), "inner")
-    val extracted = ExtractJob.extractPages(fetched).toDF().cache()
+
+    // F3 discovery: fetched listing pages yield next-round candidates
+    // (declarative regex extraction, map-side on the pages partitions);
+    // job pages flow to extraction. F6: per-(platform, category) top-N
+    // caps the discovery fan-out (urls[:limit] contract).
+    val isListing = graft.frontier.Discovery.isListing(col("canon_url"))
+    val discovered = graft.frontier.Discovery.candidates(
+      fetched.filter(isListing), categoryLimit)
+    state.writeDelta("discovered", round, discovered)
+    val discoveredCount = state.readDeltaCount("discovered", round)
+
+    val extracted = ExtractJob.extractPages(fetched.filter(!isListing)).toDF().cache()
     // single pass for both counts
     val cRow = extracted.agg(count(lit(1)), sum(when(col("extract_ok"), 1L).otherwise(0L)))
       .collect()(0)
@@ -135,20 +159,23 @@ object CrawlRound {
     val jobsCount = state.readDeltaCount(s"out_jobs", round)
     val companiesCount = state.readDeltaCount(s"out_companies", round)
 
-    // crawl ordering lineage: (round, host, sched_rank, canon_url)
+    // crawl ordering lineage: (round, host, sched_rank, canon_url, fetch_kind)
     state.writeDelta("ordering", round,
       selected.select(lit(round).as("round"), col("host"), col("sched_rank"),
-        col("canon_url"), col("platform"), col("category_id")))
+        col("canon_url"), col("platform"), col("category_id"), col("fetch_kind")))
 
     // seen delta: everything scheduled this round (budget spent once per URL)
     state.writeDelta("seen", round, selected.select("canon_url"))
 
     // crawled delta (F7): categories with no remaining unscheduled URLs
     // (computed against the full pending set so cooled-host URLs keep their
-    // category open)
+    // category open; categories with FRESH discoveries this round stay open
+    // so their discovered URLs get scheduled next round)
     val remaining = pending.join(selected.select("canon_url"), Seq("canon_url"), "left_anti")
     val doneCategories = pending.select("platform", "category_id").distinct()
       .join(remaining.select("platform", "category_id").distinct(),
+        Seq("platform", "category_id"), "left_anti")
+      .join(discovered.select("platform", "category_id").distinct(),
         Seq("platform", "category_id"), "left_anti")
     state.writeDelta("crawled", round, doneCategories)
 
@@ -167,12 +194,13 @@ object CrawlRound {
 
     state.commit(round, Map(
       "round" -> round, "frontier" -> frontierCount, "scheduled" -> scheduledCount,
-      "fetched" -> fetchedCount, "extracted" -> extractedCount))
+      "fetched" -> fetchedCount, "extracted" -> extractedCount,
+      "discovered" -> discoveredCount))
 
     pending.unpersist()
     selected.unpersist()
     extracted.unpersist()
     RoundStats(round, frontierCount, scheduledCount, fetchedCount, extractedCount,
-      jobsCount, companiesCount)
+      jobsCount, companiesCount, discoveredCount)
   }
 }

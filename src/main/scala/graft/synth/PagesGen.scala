@@ -221,22 +221,128 @@ object PagesGen {
     Page(url, new Timestamp(BaseTs + id * 37000L), html.getBytes("UTF-8"), text, "zh-TW")
   }
 
-  /** Distributed deterministic pages table. */
+  // ==== listing pages (F3 discovery fixtures) ====
+  // Jobs with id % DiscoverMod == 1 are NOT seeded directly — they are only
+  // reachable through a listing page (discovery_service.py semantics: the
+  // reference's frontier *grows* from fetched category pages).
+  val DiscoverMod = 97L
+  val ListPages = 2
+  val ListedPerPage = 20
+
+  /** The (id, companyId) slice each (platform, cat) listing chain lists:
+    * the first ListPages×ListedPerPage discovery-only ids in id order.
+    * Driver-side single pass — deterministic and parallelism-independent.
+    */
+  def listedJobs(seed: Long, n: Long): Map[(String, Int), Vector[(Long, Long)]] = {
+    val cap = ListPages * ListedPerPage
+    val m = scala.collection.mutable.Map.empty[(String, Int), Vector[(Long, Long)]]
+    var id = 0L
+    while (id < n) {
+      if (id % DiscoverMod == 1) {
+        val r = rng(seed, id)
+        if (r.nextDouble() >= 0.06) { // not noise (same draw order as buildPage)
+          val platform = platformOf(id, r)
+          val companyId = math.abs(r.nextInt(200)).toLong
+          val key = (platform, (id % 7).toInt)
+          val v = m.getOrElse(key, Vector.empty)
+          if (v.length < cap) m(key) = v :+ ((id, companyId))
+        }
+      }
+      id += 1
+    }
+    m.toMap
+  }
+
+  /** Listing-page html in each platform's discovery grammar
+    * (discovery_service.py:63-239): JSON API payloads for 104/1111/yourator,
+    * href scrape for cake (with filter-bait links), raw regex-able anchors
+    * for yes123.
+    */
+  def listingHtml(platform: String, urls: Seq[String]): String = platform match {
+    case Platforms.P104 =>
+      val items = urls.map(u => s"""{"link": {"job": "${u.stripPrefix("https:")}"}}""")
+        .mkString(", ")
+      s"""<html><head><title>104 職缺列表</title></head><body>
+         |<script type="application/json">{"data": [$items],
+         | "metadata": {"pagination": {"lastPage": $ListPages}}}</script>
+         |</body></html>""".stripMargin
+    case Platforms.P1111 =>
+      val items = urls.map(u => s"""{"jobId": ${u.substring(u.lastIndexOf('/') + 1)}}""")
+        .mkString(", ")
+      s"""<html><head><title>1111 職缺列表</title></head><body>
+         |<script type="application/json">{"result": {"hits": [$items],
+         | "pagination": {"totalPage": $ListPages}}}</script>
+         |</body></html>""".stripMargin
+    case Platforms.CAKE =>
+      val anchors = urls.map(u =>
+        s"""<a href="${u.stripPrefix("https://www.cake.me")}">職缺</a>""").mkString("\n")
+      s"""<html><head><title>Cake 職缺列表</title></head><body>
+         |<a href="/jobs/for-students">學生專區</a>
+         |<a href="/about">關於我們</a>
+         |$anchors
+         |</body></html>""".stripMargin
+    case Platforms.YES123 =>
+      val anchors = urls.map(u =>
+        s"""<a href="${u.stripPrefix("https://www.yes123.com.tw/wk_index/")}">職缺</a>""")
+        .mkString("\n")
+      s"""<html><head><title>yes123 職缺列表</title></head><body>
+         |$anchors
+         |</body></html>""".stripMargin
+    case Platforms.YOURATOR =>
+      val items = urls.map(u =>
+        s"""{"path": "${u.stripPrefix("https://www.yourator.co")}"}""").mkString(", ")
+      s"""<html><head><title>Yourator 職缺列表</title></head><body>
+         |<script type="application/json">{"payload": {"jobs": [$items],
+         | "nextPage": null}}</script>
+         |</body></html>""".stripMargin
+  }
+
+  /** The 5×7×ListPages listing pages (small, driver-built, deterministic). */
+  def listingPages(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[Page] = {
+    import spark.implicits._
+    import graft.frontier.Discovery
+    val listed = listedJobs(seed, n)
+    val rows = for {
+      p <- Platforms.all
+      c <- 0 until 7
+      pg <- 1 to ListPages
+    } yield {
+      val urls = listed.getOrElse((p, c), Vector.empty)
+        .slice((pg - 1) * ListedPerPage, pg * ListedPerPage)
+        .map { case (id, cid) => jobUrl(p, id, cid) }
+      val html = listingHtml(p, urls)
+      Page(Discovery.listUrl(p, c, pg), new Timestamp(BaseTs + 1000L * (c * 10 + pg)),
+        html.getBytes("UTF-8"), s"listing $p cat$c page$pg", "zh-TW")
+    }
+    spark.createDataset(rows)
+  }
+
+  /** Distributed deterministic pages table (job pages + listing pages). */
   def pages(spark: SparkSession, n: Long, seed: Long = 42L,
             partitions: Int = 0): Dataset[Page] = {
     import spark.implicits._
     val base = if (partitions > 0) spark.range(0, n, 1, partitions) else spark.range(0, n)
-    base.map(id => buildPage(seed, id))
+    base.map(id => buildPage(seed, id)).union(listingPages(spark, n, seed))
   }
 
   /** Seed list: canonical job URLs plus query-string duplicates (exercises
-    * canonicalization + seen-set) and a slice of dead URLs (not in pages).
+    * canonicalization + seen-set), a slice of dead URLs (not in pages), and
+    * the listing-page seeds. Discovery-only ids (id % DiscoverMod == 1) are
+    * NOT seeded — they must arrive via F3 discovery from fetched listings.
     */
   def seedUrls(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[SeedUrl] = {
     import spark.implicits._
-    spark.range(0, n).flatMap { id =>
+    import graft.frontier.Discovery
+    val listingSeeds = spark.createDataset(
+      for {
+        p <- Platforms.all
+        c <- 0 until 7
+        pg <- 1 to ListPages
+      } yield SeedUrl(Discovery.listUrl(p, c, pg), p, s"cat_${p}_$c", 5.0))
+    val jobSeeds = spark.range(0, n).flatMap { id =>
       val r = rng(seed, id)
       if (r.nextDouble() < 0.06) Iterator.empty // noise ids are not seeded
+      else if (id % DiscoverMod == 1) Iterator.empty // discovery-only ids
       else {
         val platform = platformOf(id, r)
         val companyId = math.abs(r.nextInt(200)).toLong
@@ -257,6 +363,7 @@ object PagesGen {
            else Iterator.empty)
       }
     }
+    jobSeeds.union(listingSeeds)
   }
 
   /** Per-host politeness policy (rates from config.py:62-69; robots rules are

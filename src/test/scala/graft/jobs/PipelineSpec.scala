@@ -128,6 +128,44 @@ class PipelineSpec extends AnyFunSuite {
     ord.unpersist()
   }
 
+  test("F3 discovery grows the frontier: listing-only URLs are scheduled in later rounds") {
+    import graft.frontier.Discovery
+    val state = runAll(tmp(), 4)
+    val ord = state.readCommitted("ordering").get.cache()
+    val seeds = PagesGen.seedUrls(spark, N).toDF()
+    val discovered = state.readCommitted("discovered").get.select("url").distinct().cache()
+    assert(discovered.count() > 0, "no URLs were discovered from listing pages")
+    // the frontier genuinely grew: discovered URLs are absent from the seeds
+    assert(discovered.join(seeds, Seq("url"), "left_semi").isEmpty)
+    // every discovered URL is scheduled exactly once, and only after the
+    // round that fetched its listing (never round 0)
+    val sched = ord.join(discovered.select(col("url").as("canon_url")),
+      Seq("canon_url"), "left_semi")
+    assert(sched.count() == discovered.count())
+    assert(sched.filter(col("round") === 0).isEmpty)
+    // S3 lineage: listing fetches carry their api/browser kind
+    assert(ord.filter(Discovery.isListing(col("canon_url")) &&
+      col("fetch_kind") === "api").count() > 0)
+    assert(ord.filter(col("fetch_kind") === "browser" &&
+      col("host") === "www.cake.me").count() > 0)
+    discovered.unpersist()
+    ord.unpersist()
+  }
+
+  test("F6 per-category discovery limit caps candidates per (platform, category)") {
+    val dir = tmp()
+    val state = new RoundState(spark, dir)
+    val pages = PagesGen.pages(spark, N).toDF()
+    val seeds = PagesGen.seedUrls(spark, N).toDF()
+    val policy = PagesGen.hostPolicy(spark).toDF()
+    CrawlRound.run(spark, pages, seeds, policy, state, 0, RoundSeconds,
+      categoryLimit = Some(2))
+    val d = state.readCommitted("discovered").get
+    assert(d.count() > 0)
+    val over = d.groupBy("platform", "category_id").count().filter(col("count") > 2)
+    assert(over.isEmpty)
+  }
+
   test("quarantine delta captures schema-invalid rows") {
     val state = runAll(tmp(), 4)
     val quarantine = state.readCommitted("quarantine").get
