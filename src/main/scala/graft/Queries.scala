@@ -269,6 +269,31 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // S5 MERGE compaction: three synthetic rounds of deltas over a shared key
+    // space with planted NULL-vs-value collisions; the fold must implement
+    // ON-DUPLICATE-KEY-UPDATE semantics (latest wins, IFNULL guard on
+    // description). DuckDB recomputes it with window first_value.
+    "s5_merge_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d0 = docs.select(pmod(col("doc_id"), lit(100)).as("k"), lit(0).as("round"),
+        col("doc_id").as("uid"),
+        substring(col("text"), 1, 12).as("description"),
+        col("source").as("name"))
+      val d1 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(pmod(col("doc_id"), lit(100)).as("k"), lit(1).as("round"),
+          col("doc_id").as("uid"),
+          lit(null).cast("string").as("description"), // must NOT clobber (IFNULL)
+          concat(col("source"), lit("_v1")).as("name")) // must clobber
+      val d2 = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(pmod(col("doc_id"), lit(100)).as("k"), lit(2).as("round"),
+          col("doc_id").as("uid"),
+          substring(col("text"), 3, 12).as("description"),
+          concat(col("source"), lit("_v2")).as("name"))
+      graft.jobs.Compaction.compact(d0.unionByName(d1).unionByName(d2),
+          keys = Seq("k"), ifnullCols = Seq("description"), tiebreakCols = Seq("uid"))
+        .orderBy("k")
+    }),
+
     // Frontier round driver end-to-end (canon → seen → robots → budgets →
     // fetch-join → extract) with snapshot state in a temp dir.
     "crawl_rounds" -> ((s, dir) => {
@@ -542,6 +567,26 @@ object Queries {
          |FROM s
          |WHERE title IS NOT NULL AND regexp_extract(url, 'jobs/(\\d+)', 1) <> ''
          |ORDER BY source_id""".stripMargin,
+
+    "s5_merge_compact" ->
+      """WITH u AS (
+        |  SELECT doc_id % 100 AS k, 0 AS round, doc_id AS uid,
+        |    substring(text, 1, 12) AS description, source AS name
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 100, 1, doc_id, NULL, source || '_v1'
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id % 100, 2, doc_id, substring(text, 3, 12), source || '_v2'
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT DISTINCT k,
+        |  first_value(uid) OVER w AS uid,
+        |  first_value(description IGNORE NULLS) OVER w AS description,
+        |  first_value(name) OVER w AS name
+        |FROM u
+        |WINDOW w AS (PARTITION BY k ORDER BY round DESC, uid DESC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY k""".stripMargin,
 
     "d7_minhash_lsh" ->
       """WITH uni AS (

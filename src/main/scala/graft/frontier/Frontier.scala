@@ -41,12 +41,29 @@ object Canon {
   */
 object SeenSet {
 
-  /** candidates minus seen, on column `keyCol` present in both frames. */
+  import org.apache.spark.util.sketch.BloomFilter
+
+  /** candidates minus seen, on column `keyCol` present in both frames.
+    * Builds the Bloom filter from scratch over the full seen table — use
+    * only when no carried filter exists; [[antiJoinWithBloom]] is the
+    * incremental path.
+    */
   def antiJoin(candidates: DataFrame, seen: DataFrame, keyCol: String,
                expectedSeen: Long, fpp: Double = 0.01): DataFrame = {
     if (seen.isEmpty) return candidates
     val n = math.max(expectedSeen, 1000L)
     val bloom = seen.stat.bloomFilter(keyCol, n, fpp)
+    antiJoinWithBloom(candidates, seen, keyCol, bloom)
+  }
+
+  /** candidates minus seen using an ALREADY-BUILT broadcast Bloom filter:
+    * the per-round cost no longer scans the full seen history — candidates
+    * the filter rejects are definitely unseen and skip the join; only
+    * possible-hits (≈ fpp × candidates + true hits) reach the exact
+    * `left_anti` backstop.
+    */
+  def antiJoinWithBloom(candidates: DataFrame, seen: DataFrame, keyCol: String,
+                        bloom: BloomFilter): DataFrame = {
     val spark = candidates.sparkSession
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => s != null && bloomBc.value.mightContain(s))
@@ -56,6 +73,34 @@ object SeenSet {
     val checked = maybeSeen.join(seen.select(keyCol), Seq(keyCol), "left_anti")
     definitelyNew.unionByName(checked)
   }
+
+  /** Merge a round's delta into the carried filter (incremental J5): builds
+    * a filter over ONLY the delta — same (capacity, fpp) so the bit arrays
+    * are mergeable — and ORs the previous filter in. Capacity is the
+    * DEPLOYMENT-WIDE expected seen count and must stay constant across
+    * rounds (at 10^10 URLs / fpp 0.01 that is ~12 GB of bits: size it per
+    * deployment; the default fits ~10^7-URL states in a few MB).
+    */
+  def updatedBloom(prev: Option[BloomFilter], delta: DataFrame, keyCol: String,
+                   capacity: Long, fpp: Double = 0.01): BloomFilter = {
+    // stat.bloomFilter on ZERO rows yields a null buffer (Spark 4) — an
+    // empty delta just carries the previous filter forward
+    if (delta.isEmpty) prev.getOrElse(BloomFilter.create(capacity, fpp))
+    else {
+      val fresh = delta.stat.bloomFilter(keyCol, capacity, fpp)
+      prev.foreach(fresh.mergeInPlace)
+      fresh
+    }
+  }
+
+  def serialize(bf: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
 }
 
 /** Per-host politeness budgets as window-ranked priority queues
@@ -97,8 +142,10 @@ object Politeness {
     * (host, key) so each host spans consecutive sorted partitions, take a
     * local row_number per (host, physical partition) — parallel, group sizes
     * bounded by partition size — then add per-(host, partition) prefix-sum
-    * offsets (a tiny hosts×partitions table collected to the driver and
-    * broadcast back). Global rank = local rank + offset; deterministic for
+    * offsets. The offsets come from a window prefix-sum over the tiny
+    * hosts×partitions counts frame (NO driver collect: at 10^8 hosts the
+    * counts stay distributed and only the broadcast-join materializes them
+    * executor-side). Global rank = local rank + offset; deterministic for
     * any partition count because it derives only from the total key order
     * (ties impossible: canon_url is unique).
     */
@@ -112,18 +159,11 @@ object Politeness {
     // sampling): the counts action and the final join must see the SAME
     // physical partitioning or the offsets would be wrong.
     val local = ranged.withColumn("_lr", row_number().over(localW)).localCheckpoint()
-    val counts = local.groupBy("host", "_pid").count().collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-    val offsets: Seq[(String, Int, Long)] =
-      counts.groupBy(_._1).toSeq.flatMap { case (host, rows) =>
-        var acc = 0L
-        rows.sortBy(_._2).map { case (_, pid, n) =>
-          val off = acc; acc += n; (host, pid, off)
-        }.toSeq
-      }
-    val spark = frontier.sparkSession
-    import spark.implicits._
-    val offsetsDf = offsets.toDF("host", "_pid", "_offset")
+    val wOff = Window.partitionBy(col("host")).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsetsDf = local.groupBy("host", "_pid").count()
+      .withColumn("_offset", coalesce(sum(col("count")).over(wOff), lit(0L)))
+      .select("host", "_pid", "_offset")
     local.join(broadcast(offsetsDf), Seq("host", "_pid"))
       .withColumn("sched_rank", (col("_lr") + col("_offset")).cast("int"))
       .drop("_pid", "_lr", "_offset")
@@ -150,29 +190,32 @@ object Politeness {
   }
 
   /** Fold committed per-host round metrics into an effective-rate policy.
-    * The history is tiny (hosts × rounds) — folded on the driver, broadcast
-    * back as `eff_rate_per_s`.
+    *
+    * Fully distributed: per host, the round history is gathered with
+    * `collect_list(struct(round, …))` (bounded: one small struct per
+    * committed round), sorted, and folded with a Catalyst `aggregate`
+    * expression that applies [[adaptRateStep]]'s law per round — NO driver
+    * collect, so 10^8 hosts fold as an ordinary hash aggregation + join.
     */
-  def adaptPolicy(policy: DataFrame, metricsOpt: Option[DataFrame]): DataFrame = {
-    val spark = policy.sparkSession
-    import spark.implicits._
-    val history: Map[String, Seq[(Int, Long, Long)]] = metricsOpt match {
-      case None => Map.empty
+  def adaptPolicy(policy: DataFrame, metricsOpt: Option[DataFrame]): DataFrame =
+    metricsOpt match {
+      case None => policy.withColumn("eff_rate_per_s", col("rate_per_s"))
       case Some(m) =>
-        m.select(col("host"), col("round").cast("int"),
-            col("success_requests").cast("long"),
-            coalesce(col("rate_limited"), lit(0L)).cast("long"))
-          .collect()
-          .map(r => (r.getString(0), (r.getInt(1), r.getLong(2), r.getLong(3))))
-          .groupBy(_._1).map { case (h, rows) => h -> rows.map(_._2).sortBy(_._1).toSeq }
+        val hist = m.groupBy("host").agg(
+          sort_array(collect_list(struct(
+            col("round").cast("int").as("round"),
+            col("success_requests").cast("long").as("succ"),
+            coalesce(col("rate_limited"), lit(0L)).cast("long").as("limited")))).as("_hist"))
+        policy.join(hist, Seq("host"), "left")
+          .withColumn("eff_rate_per_s",
+            when(col("_hist").isNull, col("rate_per_s")).otherwise(
+              aggregate(col("_hist"), col("rate_per_s"), (cur, r) =>
+                // adaptRateStep as a column expression (throttler.py:125-156)
+                when(r.getField("limited") > 0,
+                  greatest(cur * 0.7, col("rate_per_s") * 0.1))
+                  .when(r.getField("succ") >= 50,
+                    least(cur * 1.1, col("rate_per_s") * 1.5))
+                  .otherwise(cur))))
+          .drop("_hist")
     }
-    val base = policy.select("host", "rate_per_s").as[(String, Double)].collect().toMap
-    val eff = base.map { case (host, b) =>
-      val folded = history.getOrElse(host, Seq.empty)
-        .foldLeft(b) { case (cur, (_, succ, limited)) => adaptRateStep(b, cur, succ, limited) }
-      host -> folded
-    }
-    val effDf = eff.toSeq.toDF("host", "eff_rate_per_s")
-    policy.join(effDf, Seq("host"), "left")
-  }
 }

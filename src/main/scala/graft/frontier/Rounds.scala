@@ -46,9 +46,52 @@ final class RoundState(spark: SparkSession, stateDir: String) {
     else Some(spark.read.parquet(paths: _*))
   }
 
+  /** Like readCommitted, but re-attaches each delta's round as `_round`
+    * (needed by MERGE-at-read compaction to order versions).
+    */
+  def readCommittedWithRound(table: String): Option[DataFrame] = {
+    val rounds = committedRounds
+      .filter(r => Files.isDirectory(Paths.get(s"$stateDir/$table/round=$r")))
+    if (rounds.isEmpty) None
+    else Some(rounds.map { r =>
+      spark.read.parquet(s"$stateDir/$table/round=$r")
+        .withColumn("_round", org.apache.spark.sql.functions.lit(r))
+    }.reduce(_ unionByName _))
+  }
+
   /** Row count of one written delta (parquet footer metadata read). */
   def readDeltaCount(table: String, round: Int): Long =
     spark.read.parquet(s"$stateDir/$table/round=$round").count()
+
+  /** Binary sidecar per round (e.g. the carried URL-seen Bloom filter bits).
+    * Written before commit; visible like any delta only once the round's
+    * manifest exists.
+    */
+  def writeBlob(name: String, round: Int, bytes: Array[Byte]): Unit = {
+    val dir = Paths.get(stateDir, "_blobs")
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".${name}_round_$round.bin.tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, dir.resolve(s"${name}_round_$round.bin"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readBlob(name: String, round: Int): Option[Array[Byte]] = {
+    val p = Paths.get(stateDir, "_blobs", s"${name}_round_$round.bin")
+    if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
+  }
+
+  /** Flat string map of a committed round's manifest (carries e.g. the
+    * cumulative seen count so rounds never recount the full history).
+    */
+  def readManifest(round: Int): Option[Map[String, String]] = {
+    val p = manifestDir.resolve(s"round_$round.json")
+    if (!Files.exists(p)) return None
+    val text = Files.readString(p)
+    val kv = """"([^"]+)":\s*"?([^",}]*)"?""".r
+    Some(kv.findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toMap)
+  }
 
   /** Commit a round: manifest written last, after all table writes landed. */
   def commit(round: Int, info: Map[String, Any]): Unit = {

@@ -1,0 +1,70 @@
+package graft.jobs
+
+import graft.frontier.RoundState
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** S5 — MERGE-style compaction of append-only round deltas, the batch
+  * re-expression of the reference's idempotent persistence:
+  * `INSERT … ON DUPLICATE KEY UPDATE` with `IFNULL(new, old)` guards on
+  * description/company_web/company_url (sql_generator.py:165-200, txn at
+  * database.py:142-188). Re-crawling a key across rounds folds to ONE row:
+  * latest round wins per column, except guarded columns where a NULL in a
+  * newer round must not clobber an older non-null value — i.e. latest
+  * NON-NULL wins.
+  *
+  * Scale shape: one hash aggregation on the merge keys (`max_by` with a
+  * struct ordering key — map-side partial agg, no window, no sort). The
+  * reference's `ifnull_cols` set is the default here.
+  */
+object Compaction {
+
+  val DefaultIfNullCols: Seq[String] = Seq("description", "company_web", "company_url")
+
+  /** Fold `deltas` (which must carry an `orderCol` round column) to one row
+    * per `keys`: column := value from the max (orderCol, tiebreakCols) row;
+    * for `ifnullCols` := value from the max such row WHERE the value is
+    * non-null (IFNULL-guard semantics).
+    */
+  def compact(deltas: DataFrame, keys: Seq[String],
+              ifnullCols: Seq[String] = DefaultIfNullCols,
+              orderCol: String = "round",
+              tiebreakCols: Seq[String] = Seq.empty): DataFrame = {
+    val ord: Column = struct((orderCol +: tiebreakCols).map(col): _*)
+    val valueCols = deltas.columns.filterNot(c => keys.contains(c) || c == orderCol)
+    val aggs = valueCols.map { c =>
+      if (ifnullCols.contains(c))
+        // max_by skips rows whose ordering key is null -> latest non-null
+        max_by(col(c), when(col(c).isNotNull, ord)).as(c)
+      else
+        max_by(col(c), ord).as(c)
+    }
+    deltas.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Read a state table's committed round deltas compacted to current rows.
+    * The round number is re-attached from the delta layout so `compact` can
+    * order; this is the MERGE-at-read path the round deltas were designed
+    * for (CrawlRound writes append-only; readers see upsert semantics).
+    */
+  def readCompacted(state: RoundState, table: String, keys: Seq[String],
+                    ifnullCols: Seq[String] = DefaultIfNullCols,
+                    tiebreakCols: Seq[String] = Seq.empty): Option[DataFrame] =
+    state.readCommittedWithRound(table).map { df =>
+      compact(df, keys, ifnullCols, "_round", tiebreakCols)
+    }
+
+  /** Current tb_jobs view: latest row per (platform, source_id) with the
+    * reference's IFNULL guard on description.
+    */
+  def currentJobs(state: RoundState): Option[DataFrame] =
+    readCompacted(state, "out_jobs", Seq("platform", "source_id"),
+      ifnullCols = Seq("description"), tiebreakCols = Seq("url"))
+
+  /** Current tb_companies view: latest row per (platform, source_id) with
+    * IFNULL guards on description/company_web/company_url.
+    */
+  def currentCompanies(state: RoundState): Option[DataFrame] =
+    readCompacted(state, "out_companies", Seq("platform", "source_id"),
+      ifnullCols = DefaultIfNullCols, tiebreakCols = Seq("name"))
+}

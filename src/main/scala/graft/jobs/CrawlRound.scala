@@ -21,7 +21,9 @@ object CrawlRound {
 
   def run(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
           policy: DataFrame, state: RoundState, round: Int,
-          roundSeconds: Double, categoryLimit: Option[Int] = None): RoundStats = {
+          roundSeconds: Double, categoryLimit: Option[Int] = None,
+          bloomCapacity: Long = 4000000L,
+          maxScheduledPerRound: Long = 2000000L): RoundStats = {
 
     // F3: the frontier GROWS — candidates discovered from listing pages
     // fetched in committed rounds join the seed list (discovery_service.py
@@ -53,12 +55,24 @@ object CrawlRound {
     val deduped = canonized.withColumn("_rn", row_number().over(dedupW))
       .filter(col("_rn") === 1).drop("_rn")
 
-    // J5 cross-round seen-set (bloom prefilter + exact anti-join)
+    // J5 cross-round seen-set: the Bloom filter is CARRIED — the previous
+    // round's persisted bits are merged with only that round's delta, and
+    // the cumulative seen count rides in the manifest, so per-round cost no
+    // longer grows with |seen| (round-1 rebuilt the filter from the full
+    // history and re-counted it every round). Exactness still comes from the
+    // left_anti backstop, never the filter.
     val seenOpt = state.readCommitted("seen")
-    val seenCount = seenOpt.map(_.count()).getOrElse(0L)
-    val unseen = seenOpt match {
-      case Some(seen) => SeenSet.antiJoin(deduped, seen, "canon_url", seenCount)
-      case None => deduped
+    val lastRound = state.committedRounds.lastOption
+    val carriedBloom = lastRound.flatMap(lr =>
+      state.readBlob("seen_bloom", lr).map(SeenSet.deserialize))
+    val seenCount = lastRound.flatMap(lr =>
+      state.readManifest(lr).flatMap(_.get("seen_total")).map(_.toLong)).getOrElse(0L)
+    val unseen = (seenOpt, carriedBloom) match {
+      case (Some(seen), Some(bloom)) =>
+        SeenSet.antiJoinWithBloom(deduped, seen, "canon_url", bloom)
+      case (Some(seen), None) => // state written without blobs (pre-carry)
+        SeenSet.antiJoin(deduped, seen, "canon_url", math.max(seenCount, seen.count()))
+      case _ => deduped
     }
 
     // P2 policy join (broadcast dim) + P4 adaptive-rate fold + budget.
@@ -96,20 +110,50 @@ object CrawlRound {
       case None => pending
     }
 
-    // Ranking-input lineage: the exact rows entering budget ranking, persisted
-    // per round. This is (a) the north rule's per-partition lineage and (b)
-    // the independent-oracle hook — DuckDB recomputes the schedule as
+    // P1 window-ranked per-host budget (salted two-phase top-N)
+    val ranked = Politeness.selectBudget(cooled).cache()
+    val rankedCount = ranked.count()
+    // Broadcast-size guard: the fetch join broadcasts the selected frontier
+    // (so html never shuffles), but Σ(host budgets) is unbounded in hosts.
+    // If a round's selection exceeds the cap, budgets are scaled down
+    // pro-rata (min 1/host) and the remainder simply stays pending — it is
+    // not in the seen delta, so the next round schedules it. The round is
+    // SPLIT rather than the broadcast allowed to OOM.
+    // Pro-rata on the per-host SELECTED counts (not budgets — a host whose
+    // count sits far below its budget would otherwise dodge the cap and the
+    // sum would stay unbounded): allowed_h = max(1, floor(count_h × factor)),
+    // so Σ allowed <= cap + #hosts.
+    val (selected, scheduledCount, allowedOpt) =
+      if (rankedCount <= maxScheduledPerRound) (ranked, rankedCount, None)
+      else {
+        val factor = maxScheduledPerRound.toDouble / rankedCount
+        val allowed = ranked.groupBy("host").agg(
+          greatest(lit(1L), floor(count(lit(1)) * factor)).as("_allowed"))
+        val capped = ranked.join(broadcast(allowed), Seq("host"))
+          .filter(col("sched_rank") <= col("_allowed"))
+          .drop("_allowed").cache()
+        val n = capped.count()
+        ranked.unpersist()
+        (capped, n, Some(allowed))
+      }
+    lap("budget-rank")
+
+    // Ranking-input lineage: the exact rows entering budget ranking with the
+    // EFFECTIVE (guard-scaled) budget the schedule honored, persisted per
+    // round. This is (a) the north rule's per-partition lineage and (b) the
+    // independent-oracle hook — DuckDB recomputes the schedule as
     // row_number() over (host ORDER BY priority DESC, canon_url) <= budget
     // from these bytes and must reproduce the ordering table exactly.
-    state.writeDelta("rank_input", round,
-      cooled.select(lit(round).as("round"), col("host"), col("canon_url"),
-        col("platform"), col("category_id"), col("fetch_kind"),
-        col("priority"), col("budget")))
-
-    // P1 window-ranked per-host budget (salted two-phase top-N)
-    val selected = Politeness.selectBudget(cooled).cache()
-    val scheduledCount = selected.count()
-    lap("budget-rank")
+    val rankInputBase = cooled.select(lit(round).as("round"), col("host"),
+      col("canon_url"), col("platform"), col("category_id"), col("fetch_kind"),
+      col("priority"), col("budget"))
+    val rankInput = allowedOpt match {
+      case None => rankInputBase
+      case Some(allowed) => rankInputBase.join(broadcast(allowed), Seq("host"))
+        .withColumn("budget", least(col("budget"), col("_allowed")).cast("int"))
+        .drop("_allowed")
+    }
+    state.writeDelta("rank_input", round, rankInput)
 
     // J4: "fetch" = equi-join against the pages table on canonical URL.
     // Only url+html+ts columns are read from the scan (column pruning), and
@@ -166,6 +210,11 @@ object CrawlRound {
 
     // seen delta: everything scheduled this round (budget spent once per URL)
     state.writeDelta("seen", round, selected.select("canon_url"))
+    // J5 carry: fold ONLY this round's delta into the persisted filter bits —
+    // next round deserializes instead of rebuilding over the full history
+    val newBloom = SeenSet.updatedBloom(carriedBloom, selected.select("canon_url"),
+      "canon_url", bloomCapacity)
+    state.writeBlob("seen_bloom", round, SeenSet.serialize(newBloom))
 
     // crawled delta (F7): categories with no remaining unscheduled URLs
     // (computed against the full pending set so cooled-host URLs keep their
@@ -195,7 +244,8 @@ object CrawlRound {
     state.commit(round, Map(
       "round" -> round, "frontier" -> frontierCount, "scheduled" -> scheduledCount,
       "fetched" -> fetchedCount, "extracted" -> extractedCount,
-      "discovered" -> discoveredCount))
+      "discovered" -> discoveredCount,
+      "seen_total" -> (seenCount + scheduledCount)))
 
     pending.unpersist()
     selected.unpersist()

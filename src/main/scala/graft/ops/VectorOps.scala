@@ -97,8 +97,10 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold (dedup view). */
-  def cosineNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
+  /** Exact all-pairs embedding-cosine near-dup (BroadcastNestedLoopJoin):
+    * correct-by-construction, O(n²) — the oracle path for small inputs only.
+    */
+  def cosineNearDupExact(embeddings: DataFrame, threshold: Double): DataFrame = {
     val a = embeddings.select(col("vec_id").as("vec_a"), toDouble(col("embedding")).as("va"))
     val b = embeddings.select(col("vec_id").as("vec_b"), toDouble(col("embedding")).as("vb"))
     a.join(b, col("vec_a") < col("vec_b"))
@@ -106,4 +108,40 @@ object VectorOps {
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }
+
+  /** Bucketed embedding-cosine near-dup — the 100 TB path: sign-LSH
+    * candidate generation (multi-table bucket equi-join, shuffle ∝ bucket
+    * sizes) + exact cosine verify. No non-equi join anywhere in the plan
+    * (asserted by PlanSpec). Recall follows the same table/plane math as
+    * [[lshTopK]]; near-dup pairs (cos >= threshold, small angle) collide
+    * with high probability per table.
+    */
+  def cosineNearDupLsh(embeddings: DataFrame, threshold: Double,
+                       nPlanes: Int = 2, nTables: Int = 32): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      embeddings.select(col("vec_id"), col("embedding"),
+        lit(t).as("table"),
+        lshBucketAt(col("embedding"), nPlanes, planeOffset = t * nPlanes).as("bucket"))
+    }.reduce(_ unionByName _)
+    val a = tables.select(col("table"), col("bucket"),
+      col("vec_id").as("vec_a"), toDouble(col("embedding")).as("va"))
+    val b = tables.select(col("table"), col("bucket"),
+      col("vec_id").as("vec_b"), toDouble(col("embedding")).as("vb"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold (dedup view).
+    * Routes by input size: exact all-pairs up to `maxExactRows` (keeps the
+    * result oracle-exact at test scale), LSH-bucketed beyond (the all-pairs
+    * plan is the textbook scale-killer — never ship it at corpus scale).
+    */
+  def cosineNearDup(embeddings: DataFrame, threshold: Double,
+                    maxExactRows: Long = 100000L): DataFrame =
+    if (embeddings.count() <= maxExactRows) cosineNearDupExact(embeddings, threshold)
+    else cosineNearDupLsh(embeddings, threshold)
 }

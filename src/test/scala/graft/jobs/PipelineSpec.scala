@@ -166,6 +166,74 @@ class PipelineSpec extends AnyFunSuite {
     assert(over.isEmpty)
   }
 
+  test("broadcast guard splits an oversized round without losing URLs") {
+    val pages = PagesGen.pages(spark, N).toDF()
+    val seeds = PagesGen.seedUrls(spark, N).toDF()
+    val policy = PagesGen.hostPolicy(spark).toDF()
+    def runWith(cap: Long): RoundState = {
+      val st = new RoundState(spark, tmp())
+      var round = 0
+      var continue = true
+      while (continue && round < 40) {
+        val s = CrawlRound.run(spark, pages, seeds, policy, st, round, RoundSeconds,
+          maxScheduledPerRound = cap)
+        assert(s.scheduled <= cap + 5, // +#hosts slack: min 1 URL per host
+          s"round $round scheduled ${s.scheduled} > cap $cap")
+        if (s.frontier == 0) continue = false
+        round += 1
+      }
+      st
+    }
+    val capped = runWith(120L)
+    val free = runWith(2000000L)
+    assert(capped.committedRounds.size > free.committedRounds.size,
+      "tiny cap must split rounds")
+    // no URL lost: the cumulative seen set is identical, only the round
+    // assignment differs
+    val a = capped.readCommitted("seen").get.collect().map(_.getString(0)).sorted
+    val b = free.readCommitted("seen").get.collect().map(_.getString(0)).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("seen count rides the manifest and the bloom bits are carried per round") {
+    val state = runAll(tmp(), 4)
+    val last = state.committedRounds.last
+    val total = state.readManifest(last).get("seen_total").toLong
+    assert(total == state.readCommitted("seen").get.count(),
+      "manifest seen_total must equal the materialized seen table size")
+    state.committedRounds.foreach { r =>
+      assert(state.readBlob("seen_bloom", r).isDefined, s"round $r missing bloom blob")
+    }
+  }
+
+  test("S5 MERGE compaction: re-crawled keys fold to latest with IFNULL guards") {
+    import spark.implicits._
+    val dir = tmp()
+    val state = new RoundState(spark, dir)
+    def df(rows: Seq[(String, String, String, Option[String], Option[String], Option[String])]) =
+      rows.toDF("platform", "source_id", "name", "company_url", "company_web", "description")
+    state.writeDelta("out_companies", 0, df(Seq(
+      ("platform_yourator", "A", "AName0", Some("http://u0"), None, Some("d0")),
+      ("platform_yourator", "B", "BName0", None, Some("http://w0"), None))))
+    state.commit(0, Map("round" -> 0))
+    // re-crawl of A: newer round carries NULLs for guarded cols
+    state.writeDelta("out_companies", 1, df(Seq(
+      ("platform_yourator", "A", "AName1", None, Some("http://w1"), None))))
+    state.commit(1, Map("round" -> 1))
+
+    val cur = Compaction.currentCompanies(state).get
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(cur.size == 2) // counts stable under re-crawl
+    val a = cur("A")
+    assert(a.getString(2) == "AName1")        // plain col: latest wins
+    assert(a.getString(3) == "http://u0")     // IFNULL guard: old non-null kept
+    assert(a.getString(4) == "http://w1")     // guard: latest non-null wins
+    assert(a.getString(5) == "d0")            // guard: NULL must not clobber
+    val b = cur("B")
+    assert(b.getString(2) == "BName0" && b.getString(4) == "http://w0")
+    assert(b.isNullAt(3) && b.isNullAt(5))
+  }
+
   test("quarantine delta captures schema-invalid rows") {
     val state = runAll(tmp(), 4)
     val quarantine = state.readCommitted("quarantine").get

@@ -72,6 +72,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("text") && !readSchema.contains("lang"), readSchema)
   }
 
+  test("bucketed cosine near-dup plans with NO nested-loop/cartesian join") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = planOf(graft.ops.VectorOps.cosineNearDupLsh(emb, 0.4))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(1500))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
   test("seen-set anti-join plans as a join, not a cartesian") {
     val spark2 = spark
     import spark2.implicits._

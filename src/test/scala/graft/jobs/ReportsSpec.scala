@@ -45,6 +45,24 @@ class ReportsSpec extends AnyFunSuite {
     assert(Politeness.adaptRateStep(5.0, 5.0, 49, 0) == 5.0)
   }
 
+  test("distributed adaptPolicy fold equals the sequential adaptRateStep law") {
+    import spark.implicits._
+    val policy = Seq(("h1", 5.0), ("h2", 3.0), ("h3", 7.0))
+      .toDF("host", "rate_per_s")
+    val metrics = Seq(
+      ("h1", 0, 60L, 0L), ("h1", 1, 60L, 0L), ("h1", 2, 10L, 1L),
+      ("h2", 0, 49L, 0L))
+      .toDF("host", "round", "success_requests", "rate_limited")
+    val eff = Politeness.adaptPolicy(policy, Some(metrics))
+      .select("host", "eff_rate_per_s").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def fold(base: Double, hist: Seq[(Long, Long)]): Double =
+      hist.foldLeft(base) { case (c, (s, l)) => Politeness.adaptRateStep(base, c, s, l) }
+    assert(math.abs(eff("h1") - fold(5.0, Seq((60L, 0L), (60L, 0L), (10L, 1L)))) < 1e-9)
+    assert(eff("h2") == 3.0) // 49 successes: no streak bonus
+    assert(eff("h3") == 7.0) // no metrics at all: base rate
+  }
+
   test("platform health rollup with EWMA latency") {
     val metrics = state.readCommitted("metrics").get
     val health = Reports.platformHealth(metrics).cache()

@@ -88,6 +88,15 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.999, s"recall@3 = $recall") // exactness params (d10 oracle)
   }
 
+  test("bucketed cosine near-dup equals the exact all-pairs result here") {
+    val exact = VectorOps.cosineNearDupExact(embeddings, 0.4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.cosineNearDupLsh(embeddings, 0.4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size} missing=${(exact -- lsh).take(5)}")
+  }
+
   test("exact dedup collapses a duplicated corpus") {
     val d = docs
     val n = d.count()
