@@ -269,6 +269,34 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // X24/J7 geocode address cleaner: deterministic synthetic Taiwan
+    // addresses (fullwidth digits, Taiwan prefixes, duplicated cities,
+    // floor/suite noise, multi-address splits) are dumped to aux and DuckDB
+    // independently re-runs the whole regex chain + street fallback.
+    "g1_geo_clean" -> ((s, dir) => {
+      val id = col("doc_id")
+      def pick(options: Seq[String], mod: Int): Column =
+        element_at(array(options.map(lit): _*), (pmod(id, lit(mod)) + 1).cast("int"))
+      val city = pick(Seq("台北市", "高雄市", "新竹縣", "台中市", "新北市", "基隆市", "屏東縣"), 7)
+      val no = concat((pmod(id, lit(300)) + 1).cast("string"), lit("號"))
+      val addr = concat(
+        pick(Seq("", "台灣", "臺灣省", "中華民國", "Taiwan"), 5),
+        when(pmod(id, lit(3)) === 0, city).otherwise(lit("")), // duplicated city
+        city,
+        pick(Seq("信義區", "前鎮區", "竹北市", "西屯區", "板橋區", "中正區"), 6),
+        pick(Seq("信義路", "中山二路", "光明六路", "台灣大道", "文化路"), 5),
+        pick(Seq("", "五段", "三段", "二段"), 4),
+        when(pmod(id, lit(11)) === 0,
+          translate(no, "0123456789", "０１２３４５６７８９")).otherwise(no),
+        pick(Seq("", "5樓之一", "B2", "地下1樓", "A室", "3棟", "（近捷運）", "- "), 8),
+        when(pmod(id, lit(13)) === 0, lit("/備用地址")).otherwise(lit("")))
+      val in = t(s, dir, "documents").select(id.as("doc_id"), addr.as("addr"))
+      OracleAux.dump(in, "g1_geo_addresses")
+      in.withColumn("clean", graft.enrich.Geo.cleanAddress(col("addr")))
+        .withColumn("street", graft.enrich.Geo.streetFallback(col("clean")))
+        .orderBy("doc_id")
+    }),
+
     // S5 MERGE compaction: three synthetic rounds of deltas over a shared key
     // space with planted NULL-vs-value collisions; the fold must implement
     // ON-DUPLICATE-KEY-UPDATE semantics (latest wins, IFNULL guard on
@@ -326,7 +354,44 @@ object Queries {
       .when(url.contains("yourator.co"), "platform_yourator")
       .otherwise(lit(null: String))
 
+  /** DuckDB re-expression of Geo.cleanAddress (geocoder.py:45-94), composed
+    * programmatically: same step order, RE2's lack of lookbehind handled
+    * with a \1 capture replacement (verified equivalent).
+    */
+  private def geoCleanSql(in: String): String = {
+    def strip(e: String) = s"regexp_replace($e, '^[\\s　]+|[\\s　]+$$', '', 'g')"
+    val t0 = s"translate($in, '１２３４５６７８９０（）［］／、﹝﹞【】', '1234567890()[]/,()[]')"
+    val t1 = s"(CASE WHEN regexp_matches($t0, '[/,、]') THEN " +
+      strip(s"regexp_extract($t0, '^([^/,、]*)', 1)") + s" ELSE $t0 END)"
+    val t2 = strip(s"regexp_replace($t1, '^(台灣|中華民國|臺灣|Taiwan|R\\.O\\.C|台灣省|臺灣省)', '')")
+    val t3 = s"regexp_replace($t2, '^[,， ]+', '')"
+    val t4 = strip(s"regexp_replace($t3, '[\\(\\[].*?[\\)\\]]', '', 'g')")
+    val floorPats = Seq(
+      "\\d+[樓Ff].*" -> "",
+      "B\\d+.*" -> "",
+      "地下\\d+樓.*" -> "",
+      "[第]?[A-Z0-9]+[室室].*" -> "",
+      "\\d+棟.*" -> "",
+      "(號)\\s*[A-Z0-9].*" -> "\\1") // lookbehind -> capture-keep
+    val t5 = floorPats.foldLeft(t4) { case (e, (p, r)) =>
+      strip(s"regexp_replace($e, '$p', '$r', 'g')")
+    }
+    val t6 = graft.enrich.Geo.Cities.foldLeft(t5)((e, c) =>
+      s"regexp_replace($e, '^$c$c', '$c')")
+    strip(s"regexp_replace($t6, '[- ]+$$', '')")
+  }
+
   val oracles: Map[String, String] = Map(
+    "g1_geo_clean" -> {
+      val clean = geoCleanSql("addr")
+      s"""SELECT doc_id, addr, clean,
+         |  regexp_replace(regexp_extract(clean, '(.*?[路街巷大道段])', 1),
+         |    '^[\\s　]+|[\\s　]+$$', '', 'g') AS street
+         |FROM (SELECT doc_id, addr, $clean AS clean
+         |      FROM ${OracleAux.rp("g1_geo_addresses")})
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,
