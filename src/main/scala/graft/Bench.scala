@@ -53,7 +53,10 @@ object Bench {
     val policy = graft.synth.PagesGen.hostPolicy(spark).toDF()
     val state = new graft.frontier.RoundState(spark, stateDir)
     val tc0 = System.nanoTime()
-    val st = graft.jobs.CrawlRound.run(spark, pages, seeds, policy, state, 0, 400000.0)
+    // bloom capacity sized to the workload (must stay constant across a
+    // state's rounds; deployments size it to the expected total seen count)
+    val st = graft.jobs.CrawlRound.run(spark, pages, seeds, policy, state, 0, 400000.0,
+      bloomCapacity = math.max(crawlPages * 2, 1000000L))
     val crawlSec = (System.nanoTime() - tc0) / 1e9
     val urlsPerSec = if (crawlSec > 0) st.scheduled / crawlSec else 0.0
 

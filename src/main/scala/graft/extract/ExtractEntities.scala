@@ -9,7 +9,8 @@ final case class ExtractResult(
     location: Option[LocationRow],
     rawJson: String,
     extractOk: Boolean,
-    jobValid: Boolean)
+    jobValid: Boolean,
+    dataSourceLayer: String = "L1")
 
 /** Port of crawl_service.py:317-365 `_extract_entities` +
   * `_extract_native_location`, minus the LLM self-healing slice
@@ -18,7 +19,8 @@ final case class ExtractResult(
   */
 object ExtractEntities {
 
-  def apply(url: String, platform: String, html: String): ExtractResult = {
+  def apply(url: String, platform: String, html: String,
+            healer: Option[LlmJobExtractor] = None): ExtractResult = {
     val pgTitle = HtmlText.pageTitle(html)
     var ldList = JsonLd.extract(html)
     ldList.foreach(_.put("_url", JStr(url)))
@@ -34,8 +36,19 @@ object ExtractEntities {
     val jobLd = JsonLd.findJobPosting(ldList)
     val adapter = AdapterFactory.get(platform)
 
-    val job = jobLd.flatMap(ld => adapter.mapToJob(ld, url, Some(html)))
-    val comp = adapter.mapToCompany(jobLd.getOrElse(ldList.head), Some(html))
+    var job = jobLd.flatMap(ld => adapter.mapToJob(ld, url, Some(html)))
+    var comp = adapter.mapToCompany(jobLd.getOrElse(ldList.head), Some(html))
+    var layer = "L1"
+
+    // X25 AI self-healing (crawl_service.py:336-337): structured extraction
+    // failed -> LLM re-extract behind the title-similarity gate; surviving
+    // rows carry L2 lineage
+    if (job.forall(_.title.isEmpty)) healer.foreach { h =>
+      val (hj, hc) = Healing.healWithAi(html, platform, pgTitle, url, h)
+      job = hj
+      comp = hc
+      if (hj.isDefined) layer = "L2"
+    }
 
     if (job.isEmpty)
       return ExtractResult(None, None, None, "", extractOk = false, jobValid = false)
@@ -43,7 +56,8 @@ object ExtractEntities {
     val valid = Validator.validateJob(job.get)
     val loc = extractNativeLocation(job.get, jobLd, adapter, platform, html)
     val rawJson = Json.dumps(jobLd.getOrElse(JObj.empty))
-    ExtractResult(job, comp, loc, rawJson, extractOk = true, jobValid = valid)
+    ExtractResult(job, comp, loc, rawJson, extractOk = true, jobValid = valid,
+      dataSourceLayer = layer)
   }
 
   /** crawl_service.py:351-365 — NATIVE provider only when both coords truthy

@@ -54,61 +54,62 @@ object Discovery {
       .when(url.contains("cake.me"), "browser")
       .otherwise("http")
 
-  /** Candidate job URLs extracted from fetched listing pages.
-    *
-    * Input: fetched rows (canon_url, html, platform, category_id). Output:
-    * seed-shaped rows (url, platform, category_id, priority) — discovered
-    * URLs enter the next round's frontier below seed priority, ordered
-    * deterministically by URL within their category.
-    *
-    * `perCategoryLimit` is the reference's `urls[:limit]` contract (F6 —
-    * discovery_service.py:104,141,178,207,239): at most `limit` candidates
-    * per (platform, category_id), chosen by the deterministic URL order.
+  /** Plain-string listing predicate (extract-stage twin of [[isListing]]). */
+  def isListingUrl(url: String): Boolean =
+    url.contains("/jobs/search/list/") || url.contains("/search/jobs/") ||
+      url.contains("/jobs/cat") || url.contains("joblist.asp") ||
+      url.contains("/api/v4/jobs/")
+
+  private val Re104 = """"job":\s*"(//www\.104\.com\.tw/job/[^"]+)"""".r
+  private val Re1111 = """"jobId":\s*(\d+)""".r
+  private val ReCakeHref = """href="([^"]+)"""".r
+  private val ReYourator = """"path":\s*"(/companies/[^"]+/jobs/\d+)"""".r
+  private val ReYes123 = """job\.asp\?p_id=[^"'\s>]+""".r
+
+  /** Candidate job URLs from ONE listing page's html, in the reference's
+    * per-platform grammar. Runs inside the extract stage's typed map so the
+    * round makes a SINGLE pass over the pages side (html read once, never
+    * cached, never shuffled). Order-preserving dedup like the reference's
+    * `if u not in urls` accumulation.
     */
-  def candidates(fetched: DataFrame, perCategoryLimit: Option[Int] = None): DataFrame = {
-    val html = col("html").cast("string")
+  def extractLinks(platform: String, html: String): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    platform match {
+      case "platform_104" =>
+        Re104.findAllMatchIn(html).foreach(m => out += ("https:" + m.group(1)))
+      case "platform_1111" =>
+        Re1111.findAllMatchIn(html).foreach(m =>
+          out += s"https://www.1111.com.tw/job/${m.group(1)}")
+      case "platform_cakeresume" =>
+        ReCakeHref.findAllMatchIn(html).foreach { m =>
+          val h = m.group(1)
+          if ((h.contains("/jobs/") || h.contains("/j/")) && h.contains("/companies/") &&
+              !h.startsWith("/jobs/for-"))
+            out += ("https://www.cake.me" + h)
+        }
+      case "platform_yourator" =>
+        ReYourator.findAllMatchIn(html).foreach(m =>
+          out += ("https://www.yourator.co" + m.group(1)))
+      case "platform_yes123" =>
+        ReYes123.findAllMatchIn(html).foreach(m =>
+          out += s"https://www.yes123.com.tw/wk_index/${m.matched}")
+      case _ =>
+    }
+    out.toVector
+  }
 
-    val p104 = transform(
-      array_distinct(regexp_extract_all(html,
-        lit(""""job":\s*"(//www\.104\.com\.tw/job/[^"]+)""""), lit(1))),
-      m => concat(lit("https:"), m))
-
-    val p1111 = transform(
-      array_distinct(regexp_extract_all(html, lit(""""jobId":\s*(\d+)"""), lit(1))),
-      m => concat(lit("https://www.1111.com.tw/job/"), m))
-
-    val cakeHrefs = array_distinct(regexp_extract_all(html,
-      lit("""href="([^"]+)""""), lit(1)))
-    val pCake = transform(
-      filter(cakeHrefs, h =>
-        (h.contains("/jobs/") || h.contains("/j/")) && h.contains("/companies/") &&
-          !h.startsWith("/jobs/for-")),
-      h => concat(lit("https://www.cake.me"), h))
-
-    val pYourator = transform(
-      array_distinct(regexp_extract_all(html,
-        lit(""""path":\s*"(/companies/[^"]+/jobs/\d+)""""), lit(1))),
-      m => concat(lit("https://www.yourator.co"), m))
-
-    val pYes123 = transform(
-      array_distinct(regexp_extract_all(html,
-        lit("""job\.asp\?p_id=[^"'\s>]+"""), lit(0))),
-      m => concat(lit("https://www.yes123.com.tw/wk_index/"), m))
-
-    val links = when(col("platform") === "platform_104", p104)
-      .when(col("platform") === "platform_1111", p1111)
-      .when(col("platform") === "platform_cakeresume", pCake)
-      .when(col("platform") === "platform_yourator", pYourator)
-      .when(col("platform") === "platform_yes123", pYes123)
-      .otherwise(array())
-
-    val exploded = fetched
-      .filter(isListing(col("canon_url")))
+  /** Seed-shaped frontier candidates from the (already cached) extract
+    * output: explode the listing rows' `discovered_links`, dedup, and apply
+    * the reference's per-(platform, category) `urls[:limit]` contract (F6 —
+    * discovery_service.py:104,141,178,207,239) by deterministic URL order.
+    */
+  def fromExtracted(extracted: DataFrame, perCategoryLimit: Option[Int] = None): DataFrame = {
+    val exploded = extracted
+      .filter(col("is_listing"))
       .select(col("platform"), col("category_id"),
-        explode(links).as("url"))
+        explode(col("discovered_links")).as("url"))
       .dropDuplicates("platform", "category_id", "url")
       .withColumn("priority", lit(0.5))
-
     perCategoryLimit match {
       case None => exploded.select("url", "platform", "category_id", "priority")
       case Some(limit) =>

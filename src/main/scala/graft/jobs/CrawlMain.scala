@@ -55,8 +55,11 @@ object CrawlMain {
     var round = state.nextRound
     var continue = true
     val roundStats = scala.collection.mutable.ListBuffer.empty[CrawlRound.RoundStats]
+    // bloom capacity: constant per state; sized to the expected seen total
+    val bloomCapacity = math.max(nPages * 2, 1000000L)
     while (continue && round < maxRounds) {
-      val st = CrawlRound.run(spark, pages, seeds, policy, state, round, roundSeconds)
+      val st = CrawlRound.run(spark, pages, seeds, policy, state, round, roundSeconds,
+        bloomCapacity = bloomCapacity)
       roundStats += st
       totalScheduled += st.scheduled
       totalExtracted += st.extracted

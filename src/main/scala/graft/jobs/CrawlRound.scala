@@ -102,6 +102,21 @@ object CrawlRound {
     val frontierCount = pending.count()
     lap("frontier")
 
+    // Empty frontier: commit a zero round WITHOUT touching the pages table
+    // (the final round of every crawl is empty — skipping it saves a full
+    // corpus scan per run). The carried bloom bits and seen count roll
+    // forward so a later resume still sees them on the latest round.
+    if (frontierCount == 0) {
+      lastRound.flatMap(lr => state.readBlob("seen_bloom", lr))
+        .foreach(bytes => state.writeBlob("seen_bloom", round, bytes))
+      state.commit(round, Map(
+        "round" -> round, "frontier" -> 0L, "scheduled" -> 0L,
+        "fetched" -> 0L, "extracted" -> 0L, "discovered" -> 0L,
+        "seen_total" -> seenCount))
+      pending.unpersist()
+      return RoundStats(round, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    }
+
     // P3 cooling hosts excluded for this round only
     val cooled = state.readCommitted("cooling") match {
       case Some(cool) =>
@@ -166,22 +181,23 @@ object CrawlRound {
       .join(broadcast(selected.select("canon_url", "platform", "host", "category_id")),
         Seq("canon_url"), "inner")
 
-    // F3 discovery: fetched listing pages yield next-round candidates
-    // (declarative regex extraction, map-side on the pages partitions);
-    // job pages flow to extraction. F6: per-(platform, category) top-N
-    // caps the discovery fan-out (urls[:limit] contract).
-    val isListing = graft.frontier.Discovery.isListing(col("canon_url"))
-    val discovered = graft.frontier.Discovery.candidates(
-      fetched.filter(isListing), categoryLimit)
+    // ONE typed pass over the fetched pages produces BOTH the extraction
+    // rows and (for listing pages) the discovered candidate links — html is
+    // read exactly once per round and never cached or shuffled. F6: the
+    // per-(platform, category) top-N caps the discovery fan-out
+    // (urls[:limit] contract).
+    val extracted = ExtractJob.extractPages(fetched).toDF().cache()
+    val discovered = graft.frontier.Discovery.fromExtracted(extracted, categoryLimit)
     state.writeDelta("discovered", round, discovered)
-    val discoveredCount = state.readDeltaCount("discovered", round)
 
-    val extracted = ExtractJob.extractPages(fetched.filter(!isListing)).toDF().cache()
-    // single pass for both counts
-    val cRow = extracted.agg(count(lit(1)), sum(when(col("extract_ok"), 1L).otherwise(0L)))
-      .collect()(0)
-    val fetchedCount = cRow.getLong(0)
+    // single pass for the round counters (listing fetches excluded);
+    // discovered counted from the cached frame — no parquet read-back job
+    val cRow = extracted.agg(
+      sum(when(!col("is_listing"), 1L).otherwise(0L)),
+      sum(when(col("extract_ok"), 1L).otherwise(0L))).collect()(0)
+    val fetchedCount = if (cRow.isNullAt(0)) 0L else cRow.getLong(0)
     val extractedCount = if (cRow.isNullAt(1)) 0L else cRow.getLong(1)
+    val discoveredCount = discovered.count()
     lap("fetch+extract")
 
     // outputs (per-round partitions; a downstream MERGE-style compaction can
@@ -200,7 +216,8 @@ object CrawlRound {
       extracted.filter(col("extract_ok") && !col("job_valid"))
         .select("platform", "canon_url", "source_id", "title"))
     lap("write-outputs")
-    val jobsCount = state.readDeltaCount(s"out_jobs", round)
+    // out_jobs is exactly the extract_ok slice — no read-back job needed
+    val jobsCount = extractedCount
     val companiesCount = state.readDeltaCount(s"out_companies", round)
 
     // crawl ordering lineage: (round, host, sched_rank, canon_url, fetch_kind)
@@ -228,8 +245,9 @@ object CrawlRound {
         Seq("platform", "category_id"), "left_anti")
     state.writeDelta("crawled", round, doneCategories)
 
-    // A1-style health metrics per platform+host for this round
-    val metrics = extracted.groupBy("platform", "host").agg(
+    // A1-style health metrics per platform+host for this round (listing
+    // fetches are frontier growth, not extraction attempts — excluded)
+    val metrics = extracted.filter(!col("is_listing")).groupBy("platform", "host").agg(
       count(lit(1)).as("total_requests"),
       count(lit(1)).as("success_requests"),
       sum(when(col("extract_ok"), 1L).otherwise(0L)).as("extraction_success"),

@@ -50,7 +50,11 @@ final case class FullExtract(
     longitude: Option[Double],
     geo_provider: Option[String],
     extracted_skills: Seq[(String, String)],
-    latency_ms: Long)
+    latency_ms: Long,
+    is_listing: Boolean = false,
+    discovered_links: Seq[String] = Nil,
+    data_source_layer: String = "L1",
+    company_data_source_layer: String = "L1")
 
 object ExtractJob {
 
@@ -59,7 +63,8 @@ object ExtractJob {
     * The flatMap is a deserialized Scala call — no Python boundary; html is
     * consumed here and never carried further (column pruning boundary).
     */
-  def extractPages(fetched: DataFrame): Dataset[FullExtract] = {
+  def extractPages(fetched: DataFrame,
+                   healer: Option[LlmJobExtractor] = None): Dataset[FullExtract] = {
     val spark = fetched.sparkSession
     import spark.implicits._
     fetched
@@ -67,7 +72,29 @@ object ExtractJob {
       .as[(String, String, String, String, Array[Byte])]
       .map { case (canonUrl, platform, host, categoryId, htmlBytes) =>
         val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
-        val r = ExtractEntities(canonUrl, platform, html)
+        // F3: listing pages yield frontier candidates in the SAME pass over
+        // the pages side (html is read exactly once per round) and skip
+        // entity extraction entirely
+        if (graft.frontier.Discovery.isListingUrl(canonUrl)) {
+          FullExtract(canon_url = canonUrl, platform = platform, host = host,
+            category_id = categoryId, extract_ok = false, job_valid = false,
+            source_id = None, company_source_id = None, title = None,
+            job_url = None, description = None, industry = None,
+            job_type = None, work_hours = None, salary_currency = None,
+            salary_type = None, salary_text = None, salary_min = None,
+            salary_max = None, address_country = None, address = None,
+            region = None, district = None, experience_min_years = None,
+            education_text = None, skills_text = None, posted_at = None,
+            valid_through = None, raw_json = None, company_name = None,
+            company_url = None, company_web = None, company_address = None,
+            company_capital = None, company_employees = None,
+            company_description = None, latitude = None, longitude = None,
+            geo_provider = None, extracted_skills = Nil,
+            latency_ms = htmlBytes.length / 100 + 1,
+            is_listing = true,
+            discovered_links = graft.frontier.Discovery.extractLinks(platform, html))
+        } else {
+        val r = ExtractEntities(canonUrl, platform, html, healer)
         val job = r.job
         val comp = r.company
         val skills = job.flatMap(_.description).map(SkillExtractor.extract).getOrElse(Nil)
@@ -113,7 +140,10 @@ object ExtractJob {
           geo_provider = r.location.map(_.provider),
           extracted_skills = skills,
           // deterministic latency proxy for the health EWMA (no wall clock)
-          latency_ms = htmlBytes.length / 100 + 1)
+          latency_ms = htmlBytes.length / 100 + 1,
+          data_source_layer = r.dataSourceLayer,
+          company_data_source_layer = comp.map(_.dataSourceLayer).getOrElse("L1"))
+        }
       }
   }
 
@@ -126,7 +156,7 @@ object ExtractJob {
         col("salary_text"), col("salary_min"), col("salary_max"), col("address_country"),
         col("address"), col("region"), col("district"), col("experience_min_years"),
         col("education_text"), col("skills_text").as("skills"), col("posted_at"),
-        col("valid_through"), col("raw_json"), lit("L1").as("data_source_layer"),
+        col("valid_through"), col("raw_json"), col("data_source_layer"),
         col("job_valid").as("is_valid"))
 
   /** tb_companies projection — dedup replaces the reference's LRU company
@@ -146,7 +176,7 @@ object ExtractJob {
         col("company_address").as("address"), col("company_capital").as("capital"),
         col("company_employees").as("employee_count"),
         col("company_description").as("description"),
-        lit("L1").as("data_source_layer"))
+        col("company_data_source_layer").as("data_source_layer"))
   }
 
   /** tb_job_locations projection (NATIVE provider rows only). */
