@@ -150,9 +150,22 @@ object TextOps {
   }
 
   /** 64-bit SimHash of whitespace-token sets: per-bit majority vote over
-    * xxhash64(token). Pure Catalyst higher-order functions (codegen'd).
+    * xxhash64(token), via the native codegen'd Catalyst expression
+    * [[graft.functions.SimHash64]] (one static call per row; bit-for-bit
+    * equal to the declarative HOF formulation — see
+    * [[withSimhashDeclarative]] and the OpsSpec equivalence test).
     */
   def withSimhash(docs: DataFrame): DataFrame = {
+    graft.functions.SimHash64.ensureRegistered(docs.sparkSession)
+    docs.select(col("doc_id"),
+      call_function(graft.functions.SimHash64.functionName, col("text")).as("simhash"))
+  }
+
+  /** The pure-builtin formulation of [[withSimhash]] (higher-order functions
+    * only) — kept as the cross-implementation oracle for the native
+    * expression.
+    */
+  def withSimhashDeclarative(docs: DataFrame): DataFrame = {
     val hashes = transform(array_distinct(split(col("text"), " ")), t => xxhash64(t))
     // per-bit majority: sum over tokens of bit_j ? 1 : -1
     val sim = transform(sequence(lit(0), lit(63)), j =>

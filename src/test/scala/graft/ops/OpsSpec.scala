@@ -88,6 +88,16 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.999, s"recall@3 = $recall") // exactness params (d10 oracle)
   }
 
+  test("native SimHash64 expression is bit-for-bit equal to the declarative HOF formulation") {
+    val corpus = withMutations(docs, 2)
+    val native = TextOps.withSimhash(corpus)
+    val declarative = TextOps.withSimhashDeclarative(corpus)
+    assert(native.exceptAll(declarative).isEmpty && declarative.exceptAll(native).isEmpty)
+    // whole-stage codegen actually spans the native expression
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan.take(800))
+  }
+
   test("bucketed cosine near-dup equals the exact all-pairs result here") {
     val exact = VectorOps.cosineNearDupExact(embeddings, 0.4)
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
