@@ -46,6 +46,18 @@ final class RoundState(spark: SparkSession, stateDir: String) {
     else Some(spark.read.parquet(paths: _*))
   }
 
+  /** Snapshot read AS OF a committed round (inclusive) — time travel over
+    * the manifest log, the Iceberg-snapshot semantics the state layer
+    * mirrors: the table exactly as a reader at round `asOfRound`'s commit
+    * saw it. Uncommitted or later rounds are invisible.
+    */
+  def readAsOf(table: String, asOfRound: Int): Option[DataFrame] = {
+    val rounds = committedRounds.filter(_ <= asOfRound)
+      .filter(r => Files.isDirectory(Paths.get(s"$stateDir/$table/round=$r")))
+    if (rounds.isEmpty) None
+    else Some(spark.read.parquet(rounds.map(r => s"$stateDir/$table/round=$r"): _*))
+  }
+
   /** Like readCommitted, but re-attaches each delta's round as `_round`
     * (needed by MERGE-at-read compaction to order versions).
     */

@@ -195,6 +195,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("snapshot time travel: readAsOf(k) sees exactly the first k+1 rounds") {
+    val state = runAll(tmp(), 4)
+    val rounds = state.committedRounds
+    assert(rounds.size >= 2)
+    val mid = rounds(rounds.size / 2)
+    val asOf = state.readAsOf("ordering", mid).get
+    val full = state.readCommitted("ordering").get
+    // as-of view == the full view filtered to rounds <= mid
+    val expected = full.filter(col("round") <= mid)
+    assert(asOf.exceptAll(expected).isEmpty && expected.exceptAll(asOf).isEmpty)
+    // later rounds are invisible to the as-of reader
+    assert(asOf.filter(col("round") > mid).isEmpty)
+  }
+
   test("seen count rides the manifest and the bloom bits are carried per round") {
     val state = runAll(tmp(), 4)
     val last = state.committedRounds.last
