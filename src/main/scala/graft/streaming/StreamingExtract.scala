@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object StreamingExtract {
 
-  /** pages stream -> extracted jobs stream with cross-batch URL dedup. */
-  def jobsStream(pages: DataFrame, watermark: String = "1 hour"): DataFrame = {
+  /** Shared front half: canon + platform tag + watermark + state-store URL
+    * dedup (the streaming seen-set), then the SAME typed extract pass as the
+    * batch rounds (listing pages yield discovered_links, job pages yield
+    * entities).
+    */
+  private def extractedStream(pages: DataFrame, watermark: String): DataFrame = {
     val deduped = pages
       .withColumn("canon_url", graft.frontier.Canon.canonUrl(col("url")))
       .withColumn("platform",
@@ -31,7 +35,46 @@ object StreamingExtract {
       .withColumn("category_id", lit("stream"))
       .withWatermark("warc_ts", watermark)
       .dropDuplicates("canon_url") // state-store seen-set, bounded by watermark
-    ExtractJob.jobs(ExtractJob.extractPages(
-      deduped.withColumn("host", graft.frontier.Canon.host(col("url")))).toDF())
+    ExtractJob.extractPages(
+      deduped.withColumn("host", graft.frontier.Canon.host(col("url")))).toDF()
+  }
+
+  /** pages stream -> extracted jobs stream with cross-batch URL dedup. */
+  def jobsStream(pages: DataFrame, watermark: String = "1 hour"): DataFrame =
+    ExtractJob.jobs(extractedStream(pages, watermark))
+
+  /** pages stream -> discovered frontier-candidate stream (streaming F3):
+    * listing pages crossing the stream emit their candidate job URLs in
+    * seed shape — the writeStream side of a live frontier loop. The link
+    * grammars are the same typed pass the batch rounds use; candidate dedup
+    * per (platform, url) is the single stateful stage (it subsumes page-level
+    * dedup — a re-seen listing only re-emits candidates the state already
+    * holds), bounded by the event-time watermark.
+    */
+  def discoveryStream(pages: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .withColumn("canon_url", graft.frontier.Canon.canonUrl(col("url")))
+      .withColumn("platform",
+        when(col("url").contains("104.com.tw"), "platform_104")
+          .when(col("url").contains("1111.com.tw"), "platform_1111")
+          .when(col("url").contains("cake.me"), "platform_cakeresume")
+          .when(col("url").contains("yes123.com.tw"), "platform_yes123")
+          .when(col("url").contains("yourator.co"), "platform_yourator"))
+      .filter(col("platform").isNotNull &&
+        graft.frontier.Discovery.isListing(col("canon_url")))
+      .select(col("platform"), col("warc_ts"), col("html"))
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (p, ts, html) =>
+        graft.frontier.Discovery
+          .extractLinks(p, new String(html, java.nio.charset.StandardCharsets.UTF_8))
+          .map(u => (p, ts, u))
+      }
+      .toDF("platform", "warc_ts", "url")
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicates("platform", "url")
+      .withColumn("priority", lit(0.5))
+      .select("url", "platform", "priority", "warc_ts")
   }
 }

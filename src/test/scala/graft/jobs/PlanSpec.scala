@@ -81,6 +81,24 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
 
+  test("MERGE compaction aggregates map-side with no window sort") {
+    val spark2 = spark
+    import spark2.implicits._
+    val deltas = Seq(
+      ("p", "a", 0, Option("d0"), "n0"),
+      ("p", "a", 1, Option.empty[String], "n1"))
+      .toDF("platform", "source_id", "round", "description", "name")
+    val df = graft.jobs.Compaction.compact(deltas,
+      keys = Seq("platform", "source_id"), ifnullCols = Seq("description"))
+    val plan = df.queryExecution.executedPlan.toString
+    // hash aggregation with a partial (map-side) phase; no Window operator
+    assert(plan.contains("partial_max_by") || plan.contains("partial_"), plan.take(1200))
+    assert(!plan.contains("Window"), plan.take(1200))
+    // semantics sanity on the tiny frame
+    val row = df.collect()(0)
+    assert(row.getAs[String]("name") == "n1" && row.getAs[String]("description") == "d0")
+  }
+
   test("seen-set anti-join plans as a join, not a cartesian") {
     val spark2 = spark
     import spark2.implicits._

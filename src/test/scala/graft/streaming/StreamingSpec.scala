@@ -42,4 +42,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.length == rows.distinct.length,
       s"duplicates leaked: ${rows.length} vs ${rows.distinct.length}")
   }
+
+  test("streaming discovery: listing pages emit deduped frontier candidates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Page]
+    val out = StreamingExtract.discoveryStream(input.toDF())
+      .writeStream.format("memory").queryName("frontier_stream")
+      .outputMode("append").start()
+
+    val listings = PagesGen.listingPages(spark, 1200L).collect().toSeq
+    input.addData(listings.take(listings.size / 2))
+    out.processAllAvailable()
+    // re-send the first half (state-store dedup) plus the rest
+    input.addData(listings)
+    out.processAllAvailable()
+
+    val rows = spark.sql("SELECT url, platform FROM frontier_stream").collect()
+    out.stop()
+    assert(rows.nonEmpty, "no candidates discovered from streamed listings")
+    val urls = rows.map(_.getString(0))
+    assert(urls.length == urls.distinct.length, "candidate dedup leaked")
+    // candidates are job URLs, never listing URLs
+    assert(!urls.exists(u => graft.frontier.Discovery.isListingUrl(u)))
+  }
 }
