@@ -42,8 +42,10 @@ object ExtractEntities {
 
     // X25 AI self-healing (crawl_service.py:336-337): structured extraction
     // failed -> LLM re-extract behind the title-similarity gate; surviving
-    // rows carry L2 lineage
-    if (job.forall(_.title.isEmpty)) healer.foreach { h =>
+    // rows carry L2 lineage. The reference gate is Python-falsy
+    // (`not job or not job.title`): an EMPTY-STRING title heals too, not
+    // just a missing one.
+    if (job.forall(_.title.forall(_.isEmpty))) healer.foreach { h =>
       val (hj, hc) = Healing.healWithAi(html, platform, pgTitle, url, h)
       job = hj
       comp = hc

@@ -103,6 +103,123 @@ object SeenSet {
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
 }
 
+/** Hash-SHARDED URL-seen filter: B independent Bloom filters keyed by
+  * `shard = hash(url) mod B`, built and probed distributively (SURVEY.md
+  * §2.2 F5 / §2.4 J5 at the 10^10 design point).
+  *
+  * Why not one filter: a monolithic filter at 10^10 keys / fpp 0.01 is
+  * ~12 GB of bits — driver-built and executor-broadcast, both scale-killers.
+  * Sharded, each executor task holds exactly ONE shard's bits
+  * (capacity/B — a few hundred MB at B=64, a few MB at B=4096) and the
+  * filters are built by B parallel tasks, never on the driver.
+  *
+  * Mechanics: filters live in a `seen_shards(shard, capacity, fpp, bits)`
+  * snapshot table written per round. Update cogroups the round's key delta
+  * with the previous snapshot per shard (deserialize, put delta keys, merge,
+  * reserialize); untouched shards carry forward unchanged. Probe cogroups
+  * candidates with the snapshot per shard — one deserialize per task, then
+  * a streamed mightContain per row. Exactness still comes from the exact
+  * `left_anti` backstop over the maybe-hits, never from the filters.
+  *
+  * Capacity rides IN the snapshot rows, so resuming a state with different
+  * run arguments keeps the original (mergeInPlace-compatible) geometry —
+  * the per-run capacity argument only sizes brand-new shards.
+  *
+  * Sizing note: parallelism of both build and probe is bounded by B, so set
+  * B >= cluster cores (the default 64 covers local[32]; a 1000-executor
+  * deployment wants B in the thousands).
+  */
+object ShardedSeen {
+
+  import org.apache.spark.sql.{Encoders, Row}
+  import org.apache.spark.util.sketch.BloomFilter
+
+  val Table = "seen_shards"
+  val DefaultShards = 64
+
+  final case class ShardRow(shard: Int, capacity: Long, fpp: Double, bits: Array[Byte])
+
+  /** Deterministic shard of a key — any stable hash works; it only has to
+    * agree between update and probe (both Scala-side).
+    */
+  def shardOf(key: String, nShards: Int): Int =
+    if (key == null) 0
+    else math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key), nShards)
+
+  /** Fold a key delta into the sharded filters — fully distributed: one task
+    * per touched shard builds a delta filter and ORs the previous shard bits
+    * in; untouched shards pass through. With `prev = None` this bootstraps a
+    * snapshot from scratch (pass the FULL seen history then, or the persisted
+    * snapshot will not cover it and the probe would mis-classify historical
+    * URLs as definitely-new).
+    */
+  def updated(prev: Option[Dataset[ShardRow]], delta: DataFrame, keyCol: String,
+              nShards: Int, capacityPerShard: Long,
+              fpp: Double = 0.01): Dataset[ShardRow] = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val keys = delta.select(keyCol).as[String]
+    val keyed = keys.groupByKey(k => shardOf(k, nShards))
+    prev match {
+      case None =>
+        keyed.mapGroups { (shard, ks) =>
+          val bf = BloomFilter.create(capacityPerShard, fpp)
+          ks.foreach(bf.putString)
+          ShardRow(shard, capacityPerShard, fpp, SeenSet.serialize(bf))
+        }
+      case Some(p) =>
+        keyed.cogroup(p.groupByKey(_.shard)) { (shard, ks, ps) =>
+          val prevRow = if (ps.hasNext) Some(ps.next()) else None
+          if (ks.isEmpty) prevRow.iterator
+          else {
+            val cap = prevRow.map(_.capacity).getOrElse(capacityPerShard)
+            val f = prevRow.map(_.fpp).getOrElse(fpp)
+            val bf = BloomFilter.create(cap, f)
+            ks.foreach(bf.putString)
+            prevRow.foreach(r => bf.mergeInPlace(SeenSet.deserialize(r.bits)))
+            Iterator.single(ShardRow(shard, cap, f, SeenSet.serialize(bf)))
+          }
+        }
+    }
+  }
+
+  /** Tag candidates with `_maybe_seen` by probing the sharded filters:
+    * candidates shuffle by shard (narrow rows — call this BEFORE any html
+    * joins), each task deserializes its shard's bits once and streams its
+    * rows through. Candidates in shards with no filter row are definitely
+    * new (the snapshot covers the full seen history by construction).
+    */
+  def probe(candidates: DataFrame, filters: Dataset[ShardRow], keyCol: String,
+            nShards: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val schema = candidates.schema.add("_maybe_seen", org.apache.spark.sql.types.BooleanType)
+    val enc = Encoders.row(schema)
+    val idx = candidates.schema.fieldIndex(keyCol)
+    val keyedC = candidates.groupByKey(r => shardOf(r.getString(idx), nShards))
+    keyedC.cogroup(filters.groupByKey(_.shard)) { (_, rows, fs) =>
+      val bf = if (fs.hasNext) Some(SeenSet.deserialize(fs.next().bits)) else None
+      rows.map { r =>
+        val maybe = bf.exists(_.mightContainString(r.getString(idx)))
+        Row.fromSeq(r.toSeq :+ maybe)
+      }
+    }(enc)
+  }
+
+  /** candidates minus seen: sharded-filter prefilter + exact `left_anti`
+    * backstop over the maybe-hits (fpp × candidates + true hits), so the
+    * expensive join is proportional to the overlap, not the frontier.
+    */
+  def antiJoin(candidates: DataFrame, seen: DataFrame, keyCol: String,
+               filters: Dataset[ShardRow], nShards: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val probed = probe(candidates, filters, keyCol, nShards)
+    val definitelyNew = probed.filter(!col("_maybe_seen")).drop("_maybe_seen")
+    val maybe = probed.filter(col("_maybe_seen")).drop("_maybe_seen")
+    definitelyNew.unionByName(maybe.join(seen.select(keyCol), Seq(keyCol), "left_anti"))
+  }
+}
+
 /** Per-host politeness budgets as window-ranked priority queues
   * (SURVEY.md §2.3 P1-P5; throttler.py token bucket → batch round budgets).
   */

@@ -71,6 +71,16 @@ final class RoundState(spark: SparkSession, stateDir: String) {
     }.reduce(_ unionByName _))
   }
 
+  /** Latest committed FULL-SNAPSHOT table (e.g. the sharded seen filters):
+    * unlike delta tables, only the newest committed round's write is current.
+    * Rounds that wrote no snapshot (empty rounds) are skipped — readers look
+    * back to the last round that did.
+    */
+  def readLatestSnapshot(table: String): Option[DataFrame] =
+    committedRounds.reverse
+      .find(r => Files.isDirectory(Paths.get(s"$stateDir/$table/round=$r")))
+      .map(r => spark.read.parquet(s"$stateDir/$table/round=$r"))
+
   /** Row count of one written delta (parquet footer metadata read). */
   def readDeltaCount(table: String, round: Int): Long =
     spark.read.parquet(s"$stateDir/$table/round=$round").count()
@@ -100,9 +110,13 @@ final class RoundState(spark: SparkSession, stateDir: String) {
   def readManifest(round: Int): Option[Map[String, String]] = {
     val p = manifestDir.resolve(s"round_$round.json")
     if (!Files.exists(p)) return None
-    val text = Files.readString(p)
-    val kv = """"([^"]+)":\s*"?([^",}]*)"?""".r
-    Some(kv.findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toMap)
+    // a real JSON parse (not a regex): values containing ',', '}', '"' or
+    // escapes survive as commit() grows fields
+    graft.extract.Json.parse(Files.readString(p)) match {
+      case o: graft.extract.Json.JObj =>
+        Some(o.entries.map { case (k, v) => k -> graft.extract.Json.pyStr(v) }.toMap)
+      case _ => None
+    }
   }
 
   /** Commit a round: manifest written last, after all table writes landed. */

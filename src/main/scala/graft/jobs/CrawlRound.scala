@@ -1,17 +1,27 @@
 package graft.jobs
 
-import graft.frontier.{Canon, Politeness, RoundState, SeenSet}
+import graft.frontier.{Canon, Politeness, RoundState, ShardedSeen}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import java.util.concurrent.Executors
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
 /** One frontier round — the Spark shape of the reference's per-category crawl
   * loop (SURVEY.md §3.1):
   *
-  * seeds → anti-join(crawled) → canon+dedup → anti-join(seen, bloom) →
+  * seeds → anti-join(crawled) → canon+dedup → anti-join(seen, sharded bloom) →
   * policy join → robots filter → cooling filter → per-host window-ranked
   * budgets → join(pages) → extract → table projections → commit round
   * snapshot (seen/crawled/metrics + outputs), manifest last.
+  *
+  * All per-round output/state writes are independent projections of the same
+  * cached frames, so they are submitted CONCURRENTLY (Spark's scheduler
+  * overlaps the jobs; each write is small and the round's wall-clock is the
+  * longest write, not the sum — the round-2 sequential writes were the
+  * recorded bench's bottleneck).
   */
 object CrawlRound {
 
@@ -19,11 +29,22 @@ object CrawlRound {
       round: Int, frontier: Long, scheduled: Long, fetched: Long,
       extracted: Long, jobs: Long, companies: Long, discovered: Long = 0L)
 
+  /** @param writeLineage also persist the `rank_input` + `ordering` lineage
+    *        tables (per-round crawl-order provenance and the independent-
+    *        oracle hook). Default on; throughput benchmarks that don't read
+    *        them back may disable.
+    * @param nShards seen-filter shard count for NEW states (resumed states
+    *        keep the count persisted in their manifest); size >= cluster
+    *        cores.
+    */
   def run(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
           policy: DataFrame, state: RoundState, round: Int,
           roundSeconds: Double, categoryLimit: Option[Int] = None,
           bloomCapacity: Long = 4000000L,
-          maxScheduledPerRound: Long = 2000000L): RoundStats = {
+          maxScheduledPerRound: Long = 2000000L,
+          nShards: Int = ShardedSeen.DefaultShards,
+          writeLineage: Boolean = true): RoundStats = {
+    import spark.implicits._
 
     // F3: the frontier GROWS — candidates discovered from listing pages
     // fetched in committed rounds join the seed list (discovery_service.py
@@ -55,23 +76,29 @@ object CrawlRound {
     val deduped = canonized.withColumn("_rn", row_number().over(dedupW))
       .filter(col("_rn") === 1).drop("_rn")
 
-    // J5 cross-round seen-set: the Bloom filter is CARRIED — the previous
-    // round's persisted bits are merged with only that round's delta, and
-    // the cumulative seen count rides in the manifest, so per-round cost no
-    // longer grows with |seen| (round-1 rebuilt the filter from the full
-    // history and re-counted it every round). Exactness still comes from the
-    // left_anti backstop, never the filter.
+    // J5 cross-round seen-set: B hash-sharded Bloom filters carried as a
+    // per-round snapshot table — built and probed distributively, no driver
+    // filter build, no monolithic broadcast (per-task memory is capacity/B).
+    // The shard count and cumulative seen count ride in the manifest, so
+    // per-round cost never grows with |seen|. Exactness still comes from the
+    // left_anti backstop over the maybe-hits, never the filters.
     val seenOpt = state.readCommitted("seen")
     val lastRound = state.committedRounds.lastOption
-    val carriedBloom = lastRound.flatMap(lr =>
-      state.readBlob("seen_bloom", lr).map(SeenSet.deserialize))
-    val seenCount = lastRound.flatMap(lr =>
-      state.readManifest(lr).flatMap(_.get("seen_total")).map(_.toLong)).getOrElse(0L)
-    val unseen = (seenOpt, carriedBloom) match {
-      case (Some(seen), Some(bloom)) =>
-        SeenSet.antiJoinWithBloom(deduped, seen, "canon_url", bloom)
-      case (Some(seen), None) => // state written without blobs (pre-carry)
-        SeenSet.antiJoin(deduped, seen, "canon_url", math.max(seenCount, seen.count()))
+    val lastManifest = lastRound.flatMap(lr => state.readManifest(lr))
+    val seenCount = lastManifest.flatMap(_.get("seen_total")).map(_.toLong).getOrElse(0L)
+    val effShards = lastManifest.flatMap(_.get("seen_shards")).map(_.toInt).getOrElse(nShards)
+    val shardsOpt = state.readLatestSnapshot(ShardedSeen.Table)
+      .map(_.as[ShardedSeen.ShardRow])
+    val unseen = (seenOpt, shardsOpt) match {
+      case (Some(seen), Some(filters)) =>
+        ShardedSeen.antiJoin(deduped, seen, "canon_url", filters, effShards)
+      case (Some(seen), None) =>
+        // state written without filter snapshots (pre-shard resume): exact
+        // anti-join this one round; the snapshot written below bootstraps
+        // from the FULL history, so later rounds never mistake historical
+        // URLs for definitely-new (round-2 advice: a delta-only filter here
+        // double-scheduled resumed states)
+        deduped.join(seen.select("canon_url"), Seq("canon_url"), "left_anti")
       case _ => deduped
     }
 
@@ -104,15 +131,14 @@ object CrawlRound {
 
     // Empty frontier: commit a zero round WITHOUT touching the pages table
     // (the final round of every crawl is empty — skipping it saves a full
-    // corpus scan per run). The carried bloom bits and seen count roll
-    // forward so a later resume still sees them on the latest round.
+    // corpus scan per run). No snapshot is written; readers look back to the
+    // last round that wrote one, and the seen count + shard count roll
+    // forward in the manifest.
     if (frontierCount == 0) {
-      lastRound.flatMap(lr => state.readBlob("seen_bloom", lr))
-        .foreach(bytes => state.writeBlob("seen_bloom", round, bytes))
       state.commit(round, Map(
         "round" -> round, "frontier" -> 0L, "scheduled" -> 0L,
         "fetched" -> 0L, "extracted" -> 0L, "discovered" -> 0L,
-        "seen_total" -> seenCount))
+        "seen_total" -> seenCount, "seen_shards" -> effShards))
       pending.unpersist()
       return RoundStats(round, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
     }
@@ -153,23 +179,6 @@ object CrawlRound {
       }
     lap("budget-rank")
 
-    // Ranking-input lineage: the exact rows entering budget ranking with the
-    // EFFECTIVE (guard-scaled) budget the schedule honored, persisted per
-    // round. This is (a) the north rule's per-partition lineage and (b) the
-    // independent-oracle hook — DuckDB recomputes the schedule as
-    // row_number() over (host ORDER BY priority DESC, canon_url) <= budget
-    // from these bytes and must reproduce the ordering table exactly.
-    val rankInputBase = cooled.select(lit(round).as("round"), col("host"),
-      col("canon_url"), col("platform"), col("category_id"), col("fetch_kind"),
-      col("priority"), col("budget"))
-    val rankInput = allowedOpt match {
-      case None => rankInputBase
-      case Some(allowed) => rankInputBase.join(broadcast(allowed), Seq("host"))
-        .withColumn("budget", least(col("budget"), col("_allowed")).cast("int"))
-        .drop("_allowed")
-    }
-    state.writeDelta("rank_input", round, rankInput)
-
     // J4: "fetch" = equi-join against the pages table on canonical URL.
     // Only url+html+ts columns are read from the scan (column pruning), and
     // the join broadcasts the *frontier* side: a round's selected set is
@@ -187,51 +196,52 @@ object CrawlRound {
     // per-(platform, category) top-N caps the discovery fan-out
     // (urls[:limit] contract).
     val extracted = ExtractJob.extractPages(fetched).toDF().cache()
-    val discovered = graft.frontier.Discovery.fromExtracted(extracted, categoryLimit)
-    state.writeDelta("discovered", round, discovered)
+    val discovered = graft.frontier.Discovery.fromExtracted(extracted, categoryLimit).cache()
 
-    // single pass for the round counters (listing fetches excluded);
-    // discovered counted from the cached frame — no parquet read-back job
+    // ONE pass over the cached frame for every round counter (listing
+    // fetches excluded; companies counted post-dedup via countDistinct — no
+    // parquet read-back job)
     val cRow = extracted.agg(
       sum(when(!col("is_listing"), 1L).otherwise(0L)),
-      sum(when(col("extract_ok"), 1L).otherwise(0L))).collect()(0)
+      sum(when(col("extract_ok"), 1L).otherwise(0L)),
+      countDistinct(when(col("extract_ok") && col("company_source_id").isNotNull &&
+        col("company_name").isNotNull,
+        concat_ws("\u0001", col("platform"), col("company_source_id"))))).collect()(0)
     val fetchedCount = if (cRow.isNullAt(0)) 0L else cRow.getLong(0)
     val extractedCount = if (cRow.isNullAt(1)) 0L else cRow.getLong(1)
+    val companiesCount = cRow.getLong(2)
     val discoveredCount = discovered.count()
     lap("fetch+extract")
 
-    // outputs (per-round partitions; a downstream MERGE-style compaction can
-    // fold rounds, dedup keys are (platform, source_id))
-    val jobsDf = ExtractJob.jobs(extracted)
-    val companiesDf = ExtractJob.companies(extracted)
-    state.writeDelta("out_jobs", round, jobsDf)
-    state.writeDelta("out_companies", round, companiesDf)
-    state.writeDelta("out_locations", round, ExtractJob.locations(extracted))
-    state.writeDelta("out_skills", round, ExtractJob.skills(extracted))
-    state.writeDelta("out_junction", round, ExtractJob.junction(extracted))
-    // S7 quarantine: schema-invalid rows, persisted for drift monitoring
-    // (mirrors validator._save_sample; rows still land in out_jobs, as the
-    // reference persists regardless of validation)
-    state.writeDelta("quarantine", round,
-      extracted.filter(col("extract_ok") && !col("job_valid"))
-        .select("platform", "canon_url", "source_id", "title"))
-    lap("write-outputs")
-    // out_jobs is exactly the extract_ok slice — no read-back job needed
-    val jobsCount = extractedCount
-    val companiesCount = state.readDeltaCount(s"out_companies", round)
+    // Ranking-input lineage: the exact rows entering budget ranking with the
+    // EFFECTIVE (guard-scaled) budget the schedule honored, persisted per
+    // round. This is (a) the north rule's per-partition lineage and (b) the
+    // independent-oracle hook — DuckDB recomputes the schedule as
+    // row_number() over (host ORDER BY priority DESC, canon_url) <= budget
+    // from these bytes and must reproduce the ordering table exactly.
+    val rankInputBase = cooled.select(lit(round).as("round"), col("host"),
+      col("canon_url"), col("platform"), col("category_id"), col("fetch_kind"),
+      col("priority"), col("budget"))
+    val rankInput = allowedOpt match {
+      case None => rankInputBase
+      case Some(allowed) => rankInputBase.join(broadcast(allowed), Seq("host"))
+        .withColumn("budget", least(col("budget"), col("_allowed")).cast("int"))
+        .drop("_allowed")
+    }
 
-    // crawl ordering lineage: (round, host, sched_rank, canon_url, fetch_kind)
-    state.writeDelta("ordering", round,
-      selected.select(lit(round).as("round"), col("host"), col("sched_rank"),
-        col("canon_url"), col("platform"), col("category_id"), col("fetch_kind")))
-
-    // seen delta: everything scheduled this round (budget spent once per URL)
-    state.writeDelta("seen", round, selected.select("canon_url"))
-    // J5 carry: fold ONLY this round's delta into the persisted filter bits —
-    // next round deserializes instead of rebuilding over the full history
-    val newBloom = SeenSet.updatedBloom(carriedBloom, selected.select("canon_url"),
-      "canon_url", bloomCapacity)
-    state.writeBlob("seen_bloom", round, SeenSet.serialize(newBloom))
+    // The seen-filter snapshot: fold this round's delta into the carried
+    // shards; a pre-shard state bootstraps from the FULL history so the
+    // snapshot always covers every seen URL.
+    val seenDelta = selected.select("canon_url")
+    val capPerShard = math.max(bloomCapacity / effShards, 4096L)
+    val newShards = shardsOpt match {
+      case Some(filters) =>
+        ShardedSeen.updated(Some(filters), seenDelta, "canon_url", effShards, capPerShard)
+      case None =>
+        val history = seenOpt.map(_.select("canon_url").unionByName(seenDelta))
+          .getOrElse(seenDelta)
+        ShardedSeen.updated(None, history, "canon_url", effShards, capPerShard)
+    }
 
     // crawled delta (F7): categories with no remaining unscheduled URLs
     // (computed against the full pending set so cooled-host URLs keep their
@@ -243,7 +253,6 @@ object CrawlRound {
         Seq("platform", "category_id"), "left_anti")
       .join(discovered.select("platform", "category_id").distinct(),
         Seq("platform", "category_id"), "left_anti")
-    state.writeDelta("crawled", round, doneCategories)
 
     // A1-style health metrics per platform+host for this round (listing
     // fetches are frontier growth, not extraction attempts — excluded)
@@ -256,19 +265,54 @@ object CrawlRound {
       sum(when(!col("job_valid") && col("extract_ok"), 1L).otherwise(0L)).as("invalid_jobs"))
       .withColumn("rate_limited", lit(0L)) // no 429s against a static pages table
       .withColumn("round", lit(round))
-    state.writeDelta("metrics", round, metrics)
-    lap("state-deltas")
+
+    // All remaining writes are independent projections of cached frames
+    // (`extracted`, `selected`, `pending`, `discovered` are materialized
+    // above) — submit them as concurrent Spark jobs and await the batch.
+    // Wall-clock becomes the slowest single write instead of the sum of
+    // ~10 small sequential jobs.
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val writes = Seq(
+      Future { state.writeDelta("discovered", round, discovered) },
+      Future { state.writeDelta("out_jobs", round, ExtractJob.jobs(extracted)) },
+      Future { state.writeDelta("out_companies", round, ExtractJob.companies(extracted)) },
+      Future { state.writeDelta("out_locations", round, ExtractJob.locations(extracted)) },
+      Future { state.writeDelta("out_skills", round, ExtractJob.skills(extracted)) },
+      Future { state.writeDelta("out_junction", round, ExtractJob.junction(extracted)) },
+      // S7 quarantine: schema-invalid rows, persisted for drift monitoring
+      // (mirrors validator._save_sample; rows still land in out_jobs, as the
+      // reference persists regardless of validation)
+      Future { state.writeDelta("quarantine", round,
+        extracted.filter(col("extract_ok") && !col("job_valid"))
+          .select("platform", "canon_url", "source_id", "title")) },
+      // seen delta: everything scheduled this round (budget spent once/URL)
+      Future { state.writeDelta("seen", round, seenDelta) },
+      Future { state.writeDelta(ShardedSeen.Table, round, newShards.toDF()) },
+      Future { state.writeDelta("crawled", round, doneCategories) },
+      Future { state.writeDelta("metrics", round, metrics) }) ++
+      (if (writeLineage) Seq(
+        Future { state.writeDelta("rank_input", round, rankInput) },
+        // crawl ordering lineage: (round, host, sched_rank, canon_url, kind)
+        Future { state.writeDelta("ordering", round,
+          selected.select(lit(round).as("round"), col("host"), col("sched_rank"),
+            col("canon_url"), col("platform"), col("category_id"), col("fetch_kind"))) })
+       else Nil)
+    try Await.result(Future.sequence(writes), Duration.Inf)
+    finally pool.shutdown()
+    lap("write-outputs")
 
     state.commit(round, Map(
       "round" -> round, "frontier" -> frontierCount, "scheduled" -> scheduledCount,
       "fetched" -> fetchedCount, "extracted" -> extractedCount,
       "discovered" -> discoveredCount,
-      "seen_total" -> (seenCount + scheduledCount)))
+      "seen_total" -> (seenCount + scheduledCount), "seen_shards" -> effShards))
 
     pending.unpersist()
     selected.unpersist()
     extracted.unpersist()
+    discovered.unpersist()
     RoundStats(round, frontierCount, scheduledCount, fetchedCount, extractedCount,
-      jobsCount, companiesCount, discoveredCount)
+      extractedCount, companiesCount, discoveredCount)
   }
 }

@@ -34,7 +34,11 @@ object StreamingExtract {
       .filter(col("platform").isNotNull)
       .withColumn("category_id", lit("stream"))
       .withWatermark("warc_ts", watermark)
-      .dropDuplicates("canon_url") // state-store seen-set, bounded by watermark
+      // state-store seen-set. dropDuplicates(keys) only evicts state when the
+      // event-time column is IN the keys — with canon_url alone the store
+      // would grow without bound; the WithinWatermark variant keeps the dedup
+      // key set while evicting rows older than the watermark.
+      .dropDuplicatesWithinWatermark("canon_url")
     ExtractJob.extractPages(
       deduped.withColumn("host", graft.frontier.Canon.host(col("url")))).toDF()
   }
@@ -73,7 +77,8 @@ object StreamingExtract {
       }
       .toDF("platform", "warc_ts", "url")
       .withWatermark("warc_ts", watermark)
-      .dropDuplicates("platform", "url")
+      // watermark-evicted dedup state (see jobsStream note)
+      .dropDuplicatesWithinWatermark("platform", "url")
       .withColumn("priority", lit(0.5))
       .select("url", "platform", "priority", "warc_ts")
   }

@@ -209,15 +209,76 @@ class PipelineSpec extends AnyFunSuite {
     assert(asOf.filter(col("round") > mid).isEmpty)
   }
 
-  test("seen count rides the manifest and the bloom bits are carried per round") {
+  test("seen count rides the manifest and the sharded filters cover the full history") {
+    import graft.frontier.{SeenSet, ShardedSeen}
     val state = runAll(tmp(), 4)
     val last = state.committedRounds.last
-    val total = state.readManifest(last).get("seen_total").toLong
+    val manifest = state.readManifest(last).get
+    val total = manifest("seen_total").toLong
     assert(total == state.readCommitted("seen").get.count(),
       "manifest seen_total must equal the materialized seen table size")
-    state.committedRounds.foreach { r =>
-      assert(state.readBlob("seen_bloom", r).isDefined, s"round $r missing bloom blob")
+    // the latest snapshot must contain EVERY seen URL in its shard — a
+    // delta-only snapshot (the round-2 pre-carry bug) would fail this
+    val nShards = manifest("seen_shards").toInt
+    val snap = state.readLatestSnapshot(ShardedSeen.Table).get.collect()
+    val filters = snap.map(r =>
+      r.getAs[Int]("shard") -> SeenSet.deserialize(r.getAs[Array[Byte]]("bits"))).toMap
+    val seen = state.readCommitted("seen").get.collect().map(_.getString(0))
+    assert(seen.nonEmpty && filters.nonEmpty)
+    seen.foreach { u =>
+      val s = ShardedSeen.shardOf(u, nShards)
+      assert(filters.get(s).exists(_.mightContainString(u)),
+        s"seen url $u not covered by shard $s")
     }
+    // per-task filter memory is O(capacity / B): stored per-shard capacity
+    // is the sliced deployment capacity, never the whole
+    val caps = snap.map(_.getAs[Long]("capacity")).distinct
+    assert(caps.forall(_ <= math.max(4000000L / nShards, 4096L)),
+      s"shard capacity not sliced: $caps")
+  }
+
+  test("pre-shard resume bootstraps filters from FULL history — no re-scheduling") {
+    import graft.frontier.ShardedSeen
+    val dir = tmp()
+    runAll(dir, 4, stopAfter = 2) // 2 committed rounds
+    // simulate a state written by an engine version without filter
+    // snapshots: delete them; the resume's first round must fall back to
+    // the exact anti-join AND rebuild the snapshot over the whole history
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(s"$dir/${ShardedSeen.Table}"))
+    val resumed = runAll(dir, 4)
+    // the round-2 advice bug: a delta-only bootstrap made later rounds treat
+    // historical URLs as definitely-new and double-schedule them
+    val dup = resumed.readCommitted("seen").get
+      .groupBy("canon_url").count().filter(col("count") > 1)
+    assert(dup.isEmpty, "URLs re-scheduled after pre-shard resume")
+    val straight = runAll(tmp(), 4)
+    val a = ordering(resumed).collect().map(_.toString).sorted
+    val b = ordering(straight).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("resume with a different bloom-capacity argument keeps the stored geometry") {
+    // round-2 advice: capacity derived from per-run args threw
+    // IncompatibleMergeException on resume; sharded filters persist their
+    // capacity per row and size delta filters from it
+    val dir = tmp()
+    val pages = PagesGen.pages(spark, N).toDF()
+    val seeds = PagesGen.seedUrls(spark, N).toDF()
+    val policy = PagesGen.hostPolicy(spark).toDF()
+    val state = new RoundState(spark, dir)
+    CrawlRound.run(spark, pages, seeds, policy, state, 0, RoundSeconds,
+      bloomCapacity = 1000000L)
+    // grow-the-corpus resume: different capacity argument must not throw
+    val st = CrawlRound.run(spark, pages, seeds, policy, state, 1, RoundSeconds,
+      bloomCapacity = 9000000L)
+    assert(st.scheduled > 0)
+    val dup = state.readCommitted("seen").get
+      .groupBy("canon_url").count().filter(col("count") > 1)
+    assert(dup.isEmpty)
   }
 
   test("S5 MERGE compaction: re-crawled keys fold to latest with IFNULL guards") {
