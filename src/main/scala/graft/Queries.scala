@@ -241,24 +241,43 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
+    // d10's PRODUCTION parameters (nPlanes=4, nTables=8) on a planted-
+    // cluster corpus — the round-2 verdict ask: the near-random testdata is
+    // the ANN worst case and needs wide oracle params, so the scale-path
+    // defaults were only spec-covered. Here clusters are deterministic
+    // ±1^17-basis vectors with ±0.01 noise: dim 17 is ODD, so every plane's
+    // signed base sum is a nonzero integer (|sum| >= 1 >> noise) — sign bits
+    // are cluster-stable in EVERY table, each cluster shares buckets, and
+    // the bucketed top-3 provably equals the brute-force oracle.
+    "d13_ann_lsh_prodparams" -> ((s, dir) => {
+      val dim = 17
+      val clusterSize = 30
+      val cl = floor(col("vec_id") / clusterSize)
+      val emb = transform(sequence(lit(0), lit(dim - 1)), j => {
+        val sgn = when(pmod(xxhash64(concat_ws("_", cl.cast("string"),
+          j.cast("string"))), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+        val noise = (pmod(xxhash64(concat_ws("~", col("vec_id").cast("string"),
+          j.cast("string"))), lit(1000)).cast("double") / 1000.0 - 0.5) * 0.02
+        (sgn + noise).cast("float")
+      })
+      val vecs = t(s, dir, "embeddings").select(col("vec_id"), emb.as("embedding"))
+      OracleAux.dump(vecs.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding")), "d13_vectors")
+      graft.ops.VectorOps.lshTopK(vecs, 3, nPlanes = 4, nTables = 8)
+        .orderBy("query_id", "rank")
+    }),
+
     "d11_embed_neardup" -> ((s, dir) => {
       graft.ops.VectorOps.cosineNearDup(t(s, dir, "embeddings"), 0.4)
         .orderBy("vec_a", "vec_b")
     }),
 
-    // X25 analog: edit-distance similarity gate (built-in levenshtein);
-    // blocked by source to bound the pair join.
+    // X25 analog: edit-distance similarity gate (built-in levenshtein),
+    // size-routed: all-pairs-within-source here (oracle-exact), PassJoin
+    // segment blocking at scale — lossless, so outputs are identical.
     "d12_edit_distance" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val a = docs.select(col("source"), col("doc_id").as("doc_a"),
-        substring(col("text"), 1, 30).as("pa"))
-      val b = docs.select(col("source"), col("doc_id").as("doc_b"),
-        substring(col("text"), 1, 30).as("pb"))
-      a.join(b, Seq("source"))
-        .filter(col("doc_a") < col("doc_b"))
-        .withColumn("dist", levenshtein(col("pa"), col("pb")))
-        .filter(col("dist") <= 10)
-        .select("source", "doc_a", "doc_b", "dist")
+      graft.ops.TextOps.editDistancePairs(t(s, dir, "documents"),
+          maxDist = 10, prefixLen = 30)
         .orderBy("source", "doc_a", "doc_b")
     }),
 
@@ -680,6 +699,23 @@ object Queries {
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Brute-force top-3 over the dumped planted-cluster vectors: a MATCH
+    // certifies the PRODUCTION-parameter LSH path (nPlanes=4, nTables=8)
+    // returned the exact top-k on a clustered corpus.
+    "d13_ann_lsh_prodparams" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    round(list_inner_product(a.embedding, b.embedding)
+         |      / (sqrt(list_inner_product(a.embedding, a.embedding))
+         |       * sqrt(list_inner_product(b.embedding, b.embedding))), 4) AS cos
+         |  FROM ${OracleAux.rp("d13_vectors")} a
+         |  JOIN ${OracleAux.rp("d13_vectors")} b ON a.vec_id <> b.vec_id)
+         |SELECT query_id, neighbor_id, cos, rank FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM pairs) WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
 
     // Same SQL as d9: a MATCH certifies the bucketed LSH path returned the
     // EXACT top-k at this (nPlanes, nTables) on this corpus.

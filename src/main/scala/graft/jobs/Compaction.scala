@@ -67,4 +67,31 @@ object Compaction {
   def currentCompanies(state: RoundState): Option[DataFrame] =
     readCompacted(state, "out_companies", Seq("platform", "source_id"),
       ifnullCols = DefaultIfNullCols, tiebreakCols = Seq("name"))
+
+  /** S8 publish: bootstrap the warehouse DDL ([[graft.schema.Schemas
+    * .ensureTables]]) and overwrite the catalog tables with the compacted
+    * current views, sorted by each table's registered index columns so the
+    * reference's secondary-index lookups become parquet min/max prunes.
+    * (The sandbox session catalog is in-memory; production points the same
+    * calls at a persistent metastore / Iceberg catalog.)
+    */
+  def publish(spark: org.apache.spark.sql.SparkSession, state: RoundState,
+              warehouseDir: String): Unit = {
+    graft.schema.Schemas.ensureTables(spark, warehouseDir)
+    def writeInto(dfOpt: Option[DataFrame], table: String): Unit = dfOpt.foreach { df =>
+      // insertInto is positional: realign to the catalog schema (partition
+      // columns last) and apply the registered sort order
+      val target = spark.table(table).columns
+      val sortCols = graft.schema.Schemas.indexColsOf(spark, table)
+      val aligned = df.select(target.map(col): _*)
+      val sorted = if (sortCols.isEmpty) aligned
+        else aligned.sortWithinPartitions(sortCols.map(col): _*)
+      sorted.write.mode("overwrite").insertInto(table)
+    }
+    writeInto(currentJobs(state), "tb_jobs")
+    writeInto(currentCompanies(state), "tb_companies")
+    writeInto(state.readCommitted("out_locations"), "tb_job_locations")
+    writeInto(state.readCommitted("out_skills"), "tb_job_skills_extracted")
+    writeInto(state.readCommitted("out_junction"), "tb_categories_jobs")
+  }
 }

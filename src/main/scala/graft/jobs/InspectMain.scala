@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   runMain graft.jobs.InspectMain <stateDir> <cmd> [args]
   *   cmd ∈ health | alerts | missing | counts | jobs | companies |
-  *         quarantine | rounds | geo <cacheDir> | export <outDir>
+  *         quarantine | rounds | geo <cacheDir> | export <outDir> |
+  *         bootstrap <warehouseDir> | publish <warehouseDir>
   *
   * `jobs` / `companies` show the MERGE-compacted current view (S5 read
   * path): latest row per (platform, source_id) with IFNULL guards.
@@ -72,6 +73,15 @@ object InspectMain {
         Export.toCsv(Compaction.currentCompanies(state).get, s"$outDir/tb_companies.csv")
         Export.toJson(Compaction.currentJobs(state).get, s"$outDir/tb_jobs_json")
         println(s"exported to $outDir")
+      case "bootstrap" =>
+        // S8 DDL auto-sync (database.py:336-383): register every table
+        graft.schema.Schemas.ensureTables(spark, args(2))
+        spark.sql("SHOW TABLES").show(50, truncate = false)
+      case "publish" =>
+        // S8: bootstrap + overwrite catalog tables with the compacted views
+        Compaction.publish(spark, state, args(2))
+        println("jobs by platform (from catalog):")
+        show(Reports.countsByPlatform(spark.table("tb_jobs")))
       case other => sys.error(s"unknown cmd '$other'")
     }
     spark.stop()

@@ -141,7 +141,12 @@ object VectorOps {
     * plan is the textbook scale-killer — never ship it at corpus scale).
     */
   def cosineNearDup(embeddings: DataFrame, threshold: Double,
-                    maxExactRows: Long = 100000L): DataFrame =
-    if (embeddings.count() <= maxExactRows) cosineNearDupExact(embeddings, threshold)
+                    maxExactRows: Long = 100000L): DataFrame = {
+    // bounded routing probe: scans at most maxExactRows+1 rows (limit
+    // reaches the source), never the whole corpus
+    val probe = math.min(maxExactRows + 1, Int.MaxValue.toLong).toInt
+    if (embeddings.limit(probe).count() <= maxExactRows)
+      cosineNearDupExact(embeddings, threshold)
     else cosineNearDupLsh(embeddings, threshold)
+  }
 }

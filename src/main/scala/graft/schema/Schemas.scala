@@ -1,5 +1,8 @@
 package graft.schema
 
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.types.StructType
+
 import java.sql.{Date, Timestamp}
 
 /** Spark-facing row models (encoders derive from these case classes).
@@ -112,4 +115,76 @@ object Schemas {
       extraction_failure: Long,
       avg_latency_ms: Long,
       last_error: Option[String])
+
+  /** S8 DDL auto-sync (database.py:336-383): the reference creates every
+    * table plus its secondary indexes at startup; the Spark analog registers
+    * catalog tables with `CREATE TABLE IF NOT EXISTS` from these case-class
+    * schemas, with partition specs in place of MySQL partitioning and the
+    * reference's index columns recorded as a sort-order table property
+    * (`graft.zorder`) that writers use as their `sortWithinPartitions` /
+    * Z-ORDER columns.
+    */
+  private final case class TableSpec(
+      name: String,
+      schema: StructType,
+      partitionBy: Seq[String] = Nil,
+      // database.py:344-374 secondary-index analog — the write-time sort
+      // order that makes these columns min/max-prunable in parquet footers
+      indexCols: Seq[String] = Nil,
+      // pages is the 100 TB fetch side: bucketing by url co-locates the
+      // frontier equi-join without shuffling html
+      bucketBy: Option[(Int, String)] = None)
+
+  private def specs: Seq[TableSpec] = Seq(
+    TableSpec("pages", Encoders.product[Page].schema,
+      bucketBy = Some((64, "url"))),
+    TableSpec("tb_categories", Encoders.product[Category].schema,
+      partitionBy = Seq("platform")),
+    TableSpec("tb_jobs", Encoders.product[Job].schema,
+      partitionBy = Seq("platform"),
+      indexCols = Seq("source_id", "posted_at", "region", "job_type")),
+    TableSpec("tb_companies", Encoders.product[Company].schema,
+      partitionBy = Seq("platform"), indexCols = Seq("source_id", "name")),
+    TableSpec("tb_job_locations", Encoders.product[JobLocation].schema,
+      partitionBy = Seq("platform"), indexCols = Seq("job_source_id")),
+    TableSpec("tb_job_skills_extracted", Encoders.product[JobSkill].schema,
+      partitionBy = Seq("platform"), indexCols = Seq("skill_name")),
+    TableSpec("tb_categories_jobs", Encoders.product[CategoryJob].schema,
+      partitionBy = Seq("platform"), indexCols = Seq("category_id")),
+    TableSpec("tb_platform_health", Encoders.product[PlatformHealth].schema))
+
+  /** Idempotent fresh-warehouse bootstrap: issue one
+    * `CREATE TABLE IF NOT EXISTS` per table under `warehouseDir`.
+    * Safe to call at every session start (the reference calls its DDL sync
+    * on every service boot, database.py:336).
+    */
+  def ensureTables(spark: SparkSession, warehouseDir: String): Unit =
+    specs.foreach { t =>
+      val dataCols = t.schema.fields.filterNot(f => t.partitionBy.contains(f.name))
+      val colsDdl = (dataCols.map(f => s"`${f.name}` ${f.dataType.sql}") ++
+        t.partitionBy.map { p =>
+          val f = t.schema(p)
+          s"`${f.name}` ${f.dataType.sql}"
+        }).mkString(", ")
+      val partClause =
+        if (t.partitionBy.isEmpty) ""
+        else t.partitionBy.mkString(" PARTITIONED BY (", ", ", ")")
+      val bucketClause = t.bucketBy
+        .map { case (n, c) => s" CLUSTERED BY ($c) SORTED BY ($c) INTO $n BUCKETS" }
+        .getOrElse("")
+      val props =
+        if (t.indexCols.isEmpty) ""
+        else s" TBLPROPERTIES ('graft.zorder' = '${t.indexCols.mkString(",")}')"
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS `${t.name}` ($colsDdl) USING PARQUET
+           |$partClause$bucketClause
+           |LOCATION '$warehouseDir/${t.name}'$props""".stripMargin)
+    }
+
+  /** The registered write-time sort order of a table ('' if none). */
+  def indexColsOf(spark: SparkSession, table: String): Seq[String] = {
+    val rows = spark.sql(s"SHOW TBLPROPERTIES `$table`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    rows.get("graft.zorder").map(_.split(",").toSeq).getOrElse(Nil)
+  }
 }

@@ -108,4 +108,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), plan.take(1200))
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
+
+  test("d6 scale path joins on band buckets, never source alone") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.ops.TextOps.ngramJaccardLsh(docs, 0.3))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1500))
+    // the candidate equi-join keys include the band signature — a
+    // source-only join is O(block²) with a low-cardinality blocking key
+    assert(plan.contains("band_sig"), plan.take(2000))
+  }
+
+  test("d12 scale path joins on exact segment strings (PassJoin), never source alone") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.ops.TextOps.editDistancePairsSegmented(docs, 10, 30))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(plan.contains("seg_str"), plan.take(2000))
+  }
+
+  test("routing wrappers choose the bucketed path above the exact-rows bound") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p6 = planOf(graft.ops.TextOps.ngramJaccard(docs, 0.3, maxExactRows = 10))
+    assert(p6.contains("band_sig"), p6.take(2000))
+    val p12 = planOf(graft.ops.TextOps.editDistancePairs(docs, 10, 30, maxExactRows = 10))
+    assert(p12.contains("seg_str"), p12.take(2000))
+  }
 }

@@ -107,6 +107,45 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size} missing=${(exact -- lsh).take(5)}")
   }
 
+  test("d6 LSH path equals the exact all-pairs path (single-row banding, J>=0.3)") {
+    val exact = TextOps.ngramJaccardExact(docs, 0.3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextOps.ngramJaccardLsh(docs, 0.3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size} missing=${(exact -- lsh).take(5)}")
+    // the routing wrapper picks the LSH path above the bound
+    val routed = TextOps.ngramJaccard(docs, 0.3, maxExactRows = 10)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed == exact)
+  }
+
+  test("d12 PassJoin segment blocking is lossless vs the exact all-pairs path") {
+    val exact = TextOps.editDistancePairsExact(docs, maxDist = 10, prefixLen = 30)
+      .select("doc_a", "doc_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val seg = TextOps.editDistancePairsSegmented(docs, maxDist = 10, prefixLen = 30)
+      .select("doc_a", "doc_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exact.nonEmpty)
+    assert(seg == exact, s"seg=${seg.size} exact=${exact.size} missing=${(exact -- seg).take(5)}")
+    // short strings (len <= d) exercise the short block, indels shift segments
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz", "s"), // long
+      (2L, "Xabcdefghijklmnopqrstuvwxy", "s"), // 1 sub + shift-ish
+      (3L, "abcdefghijklmnopqrst", "s"),       // 6 deletions at the tail
+      (4L, "ab", "s"), (5L, "xy", "s"),        // shorts: ed(ab,xy)=2 <= 10
+      (6L, "", "s")                             // empty prefix
+    ).toDF("doc_id", "text", "source")
+    val e2 = TextOps.editDistancePairsExact(tricky, 10, 30)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s2 = TextOps.editDistancePairsSegmented(tricky, 10, 30)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s2 == e2, s"tricky: seg=$s2 exact=$e2")
+    assert(e2.contains((4L, 5L)) && e2.contains((4L, 6L))) // short-block pairs
+  }
+
   test("exact dedup collapses a duplicated corpus") {
     val d = docs
     val n = d.count()
