@@ -52,8 +52,10 @@ object Bench {
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name: $sec%.2f s ($n rows)")
+      name -> sec
     }
 
     // headline crawl-throughput measurement: full round pipeline, one round,

@@ -91,7 +91,7 @@ object TextOps {
     * (1-J)^64 ≈ 1e-10 at J=0.3).
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
-                   maxExactRows: Long = 2000L): DataFrame = {
+                   maxExactRows: Long = 10000L): DataFrame = {
     val probe = math.min(maxExactRows + 1, Int.MaxValue.toLong).toInt
     if (docs.limit(probe).count() <= maxExactRows) ngramJaccardExact(docs, threshold)
     else ngramJaccardLsh(docs, threshold)
@@ -121,21 +121,24 @@ object TextOps {
   def ngramJaccardLsh(docs: DataFrame, threshold: Double, k: Int = 64): DataFrame = {
     val sigs = docs.select(col("source"), col("doc_id"), col("text"),
       minhashSignature(col("text"), k).as("sig"))
-    val banded = sigs.select(col("source"), col("doc_id"), col("text"),
+    // id-only candidate pairs; texts re-attach post-dedup (see minhashLsh)
+    val banded = sigs.select(col("source"), col("doc_id"),
       posexplode(col("sig")).as(Seq("band", "band_sig")))
     val a = banded.select(col("source"), col("band"), col("band_sig"),
-      col("doc_id").as("doc_a"), col("text").as("text_a"))
+      col("doc_id").as("doc_a"))
     val b = banded.select(col("source"), col("band"), col("band_sig"),
-      col("doc_id").as("doc_b"), col("text").as("text_b"))
+      col("doc_id").as("doc_b"))
     val candidates = a.join(b, Seq("source", "band", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("source", "doc_a", "doc_b", "text_a", "text_b")
+      .select("source", "doc_a", "doc_b")
       .dropDuplicates("source", "doc_a", "doc_b")
-    val ta = array_distinct(split(col("text_a"), " "))
-    val tb = array_distinct(split(col("text_b"), " "))
-    val inter = size(array_intersect(ta, tb))
-    val union = size(ta) + size(tb) - inter
-    candidates
+    val ta = sigs.select(col("doc_id").as("doc_a"),
+      array_distinct(split(col("text"), " ")).as("toks_a"))
+    val tb = sigs.select(col("doc_id").as("doc_b"),
+      array_distinct(split(col("text"), " ")).as("toks_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    val union = size(col("toks_a")) + size(col("toks_b")) - inter
+    candidates.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
       .withColumn("jaccard", round(inter.cast("double") / union, 4))
       .filter(col("jaccard") >= threshold)
       .select("source", "doc_a", "doc_b", "jaccard")
@@ -148,7 +151,7 @@ object TextOps {
     * both paths produce identical output at any size).
     */
   def editDistancePairs(docs: DataFrame, maxDist: Int = 10, prefixLen: Int = 30,
-                        maxExactRows: Long = 2000L): DataFrame = {
+                        maxExactRows: Long = 10000L): DataFrame = {
     val probe = math.min(maxExactRows + 1, Int.MaxValue.toLong).toInt
     if (docs.limit(probe).count() <= maxExactRows)
       editDistancePairsExact(docs, maxDist, prefixLen)
@@ -195,7 +198,7 @@ object TextOps {
     // prefixes longer than d.
     val idx = base.filter(col("len") > d)
       .select(col("source"), col("doc_id").as("doc_a"),
-        col("p").as("pa"), col("len").as("len_a"),
+        col("len").as("len_a"),
         posexplode(transform(sequence(lit(0), lit(d)), i => {
           val st = segStart(i, col("len"))
           val en = segStart(i + 1, col("len"))
@@ -213,7 +216,7 @@ object TextOps {
     // only pair through the short block anyway)
     val probeCands = base.filter(col("len") >= 1)
       .select(col("source"), col("doc_id").as("doc_b"),
-        col("p").as("pb"), col("len").as("len_b"),
+        col("len").as("len_b"),
         explode(flatten(transform(
           sequence(greatest(col("len") - d, lit(d + 1)), col("len") + d), lenA => {
           flatten(transform(sequence(lit(0), lit(d)), i => {
@@ -229,30 +232,33 @@ object TextOps {
                 col("p").substr(bStart + 1, segLen).as("seg_str")))
           }))
         }))).as("cand"))
-      .select(col("source"), col("doc_b"), col("pb"),
+      .select(col("source"), col("doc_b"),
         col("cand.len_a").as("len_a"), col("cand.seg").as("seg"),
         col("cand.seg_str").as("seg_str"))
+    // id-only candidate pairs (prefixes re-attach post-dedup — the segment
+    // buckets are where collisions explode; see minhashLsh)
     val segCandidates = idx.join(probeCands, Seq("source", "len_a", "seg", "seg_str"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("source", "doc_a", "doc_b", "pa", "pb")
+      .select("source", "doc_a", "doc_b")
     // SHORT block: a prefix of length <= d can reach ed <= d with partners
     // of length <= 2d while sharing no non-empty segment, so segment
     // blocking is blind to it. Pair every short prefix with every prefix of
     // length <= 2d in its source — a block bounded by the (rare, degenerate)
     // short-string population, not the corpus.
     val shortA = base.filter(col("len") <= d)
-      .select(col("source"), col("doc_id").as("doc_a"), col("p").as("pa"))
+      .select(col("source"), col("doc_id").as("doc_a"))
     val shortPartners = base.filter(col("len") <= 2 * d)
-      .select(col("source"), col("doc_id").as("doc_b"), col("p").as("pb"))
+      .select(col("source"), col("doc_id").as("doc_b"))
     val shortCandidates = shortA.join(shortPartners, Seq("source"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("source"),
         least(col("doc_a"), col("doc_b")).as("doc_a"),
-        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
-        when(col("doc_a") < col("doc_b"), col("pa")).otherwise(col("pb")).as("pa"),
-        when(col("doc_a") < col("doc_b"), col("pb")).otherwise(col("pa")).as("pb"))
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    val pa = base.select(col("doc_id").as("doc_a"), col("p").as("pa"))
+    val pb = base.select(col("doc_id").as("doc_b"), col("p").as("pb"))
     segCandidates.unionByName(shortCandidates)
       .dropDuplicates("source", "doc_a", "doc_b")
+      .join(pa, Seq("doc_a")).join(pb, Seq("doc_b"))
       .withColumn("dist", levenshtein(col("pa"), col("pb")))
       .filter(col("dist") <= d)
       .select("source", "doc_a", "doc_b", "dist")
@@ -286,24 +292,29 @@ object TextOps {
     val rowsPerBand = k / bands
     val sigs = docs.select(col("doc_id"), col("text"),
       minhashSignature(col("text"), k).as("sig"))
-    val banded = sigs.select(col("doc_id"), col("text"),
+    // candidate generation is ID-ONLY: the bucket self-join explodes to
+    // O(collisions) rows, and on a self-similar corpus that is the dominant
+    // row count — 16-byte id pairs shuffle fine where rows carrying both
+    // texts thrash (the round-3 bench finding). Texts re-attach AFTER the
+    // pair dedup via two narrow doc_id equi-joins.
+    val banded = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
         xxhash64(concat_ws("_",
           slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")))))
         .as(Seq("band", "band_sig")))
-    val a = banded.select(col("band"), col("band_sig"),
-      col("doc_id").as("doc_a"), col("text").as("text_a"))
-    val b = banded.select(col("band"), col("band_sig"),
-      col("doc_id").as("doc_b"), col("text").as("text_b"))
+    val a = banded.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
     val candidates = a.join(b, Seq("band", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "text_a", "text_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    val ta = array_distinct(split(col("text_a"), " "))
-    val tb = array_distinct(split(col("text_b"), " "))
-    val inter = size(array_intersect(ta, tb))
-    val union = size(ta) + size(tb) - inter
-    candidates
+    val ta = sigs.select(col("doc_id").as("doc_a"),
+      array_distinct(split(col("text"), " ")).as("toks_a"))
+    val tb = sigs.select(col("doc_id").as("doc_b"),
+      array_distinct(split(col("text"), " ")).as("toks_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    val union = size(col("toks_a")) + size(col("toks_b")) - inter
+    candidates.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
       .withColumn("jaccard", round(inter.cast("double") / union, 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")

@@ -30,12 +30,17 @@ object VectorOps {
     * Use [[lshTopK]] beyond ~10^5 vectors.
     */
   def bruteForceTopK(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    // norms precomputed ONCE per vector (not per pair — 3x less HOF work in
+    // the n² stage; sqrt(dot(v,v)) is the same op sequence, so the rounded
+    // cosine is bit-identical to the inline form the oracle recomputes)
     val a = embeddings.select(col("vec_id").as("query_id"),
       toDouble(col("embedding")).as("va"))
+      .withColumn("na", norm(col("va")))
     val b = embeddings.select(col("vec_id").as("neighbor_id"),
       toDouble(col("embedding")).as("vb"))
+      .withColumn("nb", norm(col("vb")))
     val pairs = a.join(b, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))
@@ -81,15 +86,20 @@ object VectorOps {
         lit(t).as("table"),
         lshBucketAt(col("embedding"), nPlanes, planeOffset = t * nPlanes).as("bucket"))
     }.reduce(_ unionByName _)
-    val a = tables.select(col("table"), col("bucket"),
-      col("vec_id").as("query_id"), toDouble(col("embedding")).as("va"))
-    val b = tables.select(col("table"), col("bucket"),
-      col("vec_id").as("neighbor_id"), toDouble(col("embedding")).as("vb"))
+    // id-only bucket join; vectors + precomputed norms re-attach after the
+    // pair dedup (bucket collisions dominate the row count — see TextOps)
+    val a = tables.select(col("table"), col("bucket"), col("vec_id").as("query_id"))
+    val b = tables.select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"))
+    val va = embeddings.select(col("vec_id").as("query_id"),
+      toDouble(col("embedding")).as("va")).withColumn("na", norm(col("va")))
+    val vb = embeddings.select(col("vec_id").as("neighbor_id"),
+      toDouble(col("embedding")).as("vb")).withColumn("nb", norm(col("vb")))
     val pairs = a.join(b, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("va"), col("vb"))
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .join(va, Seq("query_id")).join(vb, Seq("neighbor_id"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))
@@ -102,9 +112,11 @@ object VectorOps {
     */
   def cosineNearDupExact(embeddings: DataFrame, threshold: Double): DataFrame = {
     val a = embeddings.select(col("vec_id").as("vec_a"), toDouble(col("embedding")).as("va"))
+      .withColumn("na", norm(col("va")))
     val b = embeddings.select(col("vec_id").as("vec_b"), toDouble(col("embedding")).as("vb"))
+      .withColumn("nb", norm(col("vb")))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }
@@ -123,14 +135,18 @@ object VectorOps {
         lit(t).as("table"),
         lshBucketAt(col("embedding"), nPlanes, planeOffset = t * nPlanes).as("bucket"))
     }.reduce(_ unionByName _)
-    val a = tables.select(col("table"), col("bucket"),
-      col("vec_id").as("vec_a"), toDouble(col("embedding")).as("va"))
-    val b = tables.select(col("table"), col("bucket"),
-      col("vec_id").as("vec_b"), toDouble(col("embedding")).as("vb"))
+    val a = tables.select(col("table"), col("bucket"), col("vec_id").as("vec_a"))
+    val b = tables.select(col("table"), col("bucket"), col("vec_id").as("vec_b"))
+    val va = embeddings.select(col("vec_id").as("vec_a"),
+      toDouble(col("embedding")).as("va")).withColumn("na", norm(col("va")))
+    val vb = embeddings.select(col("vec_id").as("vec_b"),
+      toDouble(col("embedding")).as("vb")).withColumn("nb", norm(col("vb")))
     a.join(b, Seq("table", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
       .dropDuplicates("vec_a", "vec_b")
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }
