@@ -91,6 +91,25 @@ object Geo {
     enriched.filter(col("geo_lat").isNull && col("geo_query") =!= "")
       .select("geo_query").distinct()
 
+  /** P8 — the reference's distributed 1-QPS Nominatim lock
+    * (geocoder.py:166-171: a Redis `SET NX EX 1` gate before every API
+    * call) re-expressed for batch: a round may resolve at most
+    * `floor(qps × windowSeconds)` misses; the rest stay queued for the next
+    * round. The due batch is the deterministic head of the queue
+    * (ordered by address — a distributed TakeOrdered, no global sort), so
+    * retries across rounds are stable.
+    *
+    * Returns (due, deferred).
+    */
+  def throttleMisses(missQueue: DataFrame, qps: Double,
+                     windowSeconds: Double): (DataFrame, DataFrame) = {
+    val maxCalls = math.max(1L, (qps * windowSeconds).toLong)
+    val capped = math.min(maxCalls, Int.MaxValue.toLong).toInt
+    val due = missQueue.orderBy("geo_query").limit(capped)
+    val deferred = missQueue.join(due, Seq("geo_query"), "left_anti")
+    (due, deferred)
+  }
+
   /** STUB provider (clearly marked, like Multimodal.StubDecoder): the
     * container has no network, so resolving misses against real Nominatim is
     * impossible — this produces deterministic fake coordinates in Taiwan's

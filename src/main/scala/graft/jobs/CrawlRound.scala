@@ -198,6 +198,11 @@ object CrawlRound {
     val extracted = ExtractJob.extractPages(fetched).toDF().cache()
     val discovered = graft.frontier.Discovery.fromExtracted(extracted, categoryLimit).cache()
 
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    // the discovered count joins the concurrent batch (it is only needed at
+    // commit time — one fewer serial driver barrier per round)
+    val discoveredCountF = Future(discovered.count())
     // ONE pass over the cached frame for every round counter (listing
     // fetches excluded; companies counted post-dedup via countDistinct — no
     // parquet read-back job)
@@ -210,7 +215,6 @@ object CrawlRound {
     val fetchedCount = if (cRow.isNullAt(0)) 0L else cRow.getLong(0)
     val extractedCount = if (cRow.isNullAt(1)) 0L else cRow.getLong(1)
     val companiesCount = cRow.getLong(2)
-    val discoveredCount = discovered.count()
     lap("fetch+extract")
 
     // Ranking-input lineage: the exact rows entering budget ranking with the
@@ -271,8 +275,6 @@ object CrawlRound {
     // above) — submit them as concurrent Spark jobs and await the batch.
     // Wall-clock becomes the slowest single write instead of the sum of
     // ~10 small sequential jobs.
-    val pool = Executors.newFixedThreadPool(8)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     val writes = Seq(
       Future { state.writeDelta("discovered", round, discovered) },
       Future { state.writeDelta("out_jobs", round, ExtractJob.jobs(extracted)) },
@@ -290,7 +292,12 @@ object CrawlRound {
       Future { state.writeDelta("seen", round, seenDelta) },
       Future { state.writeDelta(ShardedSeen.Table, round, newShards.toDF()) },
       Future { state.writeDelta("crawled", round, doneCategories) },
-      Future { state.writeDelta("metrics", round, metrics) }) ++
+      Future { state.writeDelta("metrics", round, metrics) },
+      // P7 circuit breaker: hosts whose external-failure (429) count trips
+      // the reference's threshold cool for the recovery window; expiry is
+      // the half-open probe (circuit_breaker.py semantics at round grain)
+      Future { state.writeDelta("cooling", round,
+        CircuitBreaker.trips(metrics, round, roundSeconds)) }) ++
       (if (writeLineage) Seq(
         Future { state.writeDelta("rank_input", round, rankInput) },
         // crawl ordering lineage: (round, host, sched_rank, canon_url, kind)
@@ -298,8 +305,11 @@ object CrawlRound {
           selected.select(lit(round).as("round"), col("host"), col("sched_rank"),
             col("canon_url"), col("platform"), col("category_id"), col("fetch_kind"))) })
        else Nil)
-    try Await.result(Future.sequence(writes), Duration.Inf)
-    finally pool.shutdown()
+    val discoveredCount =
+      try {
+        Await.result(Future.sequence(writes), Duration.Inf)
+        Await.result(discoveredCountF, Duration.Inf)
+      } finally pool.shutdown()
     lap("write-outputs")
 
     state.commit(round, Map(

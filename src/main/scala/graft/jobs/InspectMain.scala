@@ -57,16 +57,23 @@ object InspectMain {
         }
       case "geo" =>
         // J7: enrich current jobs against a geocode cache; report hit/miss
-        // and write the miss queue for the external geocoder
+        // and write the miss queue for the external geocoder. P8: the due
+        // batch honors the reference's 1-QPS Nominatim budget over the
+        // window (geocoder.py:166-171); the rest defer to the next window.
         val cacheDir = args(2)
+        val windowS = if (args.length > 3) args(3).toDouble else 600.0
         val cache = spark.read.parquet(cacheDir)
         val enriched = graft.enrich.Geo.enrich(
           Compaction.currentJobs(state).get.filter(col("address").isNotNull), cache)
         val hits = enriched.filter(col("geo_lat").isNotNull).count()
         val misses = graft.enrich.Geo.misses(enriched)
         val nMiss = misses.count()
-        misses.write.mode("overwrite").parquet(s"$stateDir/geo_miss_queue")
-        println(s"""{"geo_hits":$hits,"geo_misses":$nMiss,"queue":"$stateDir/geo_miss_queue"}""")
+        val (due, deferred) = graft.enrich.Geo.throttleMisses(misses, 1.0, windowS)
+        due.write.mode("overwrite").parquet(s"$stateDir/geo_miss_queue")
+        deferred.write.mode("overwrite").parquet(s"$stateDir/geo_miss_deferred")
+        val nDef = deferred.count()
+        println(s"""{"geo_hits":$hits,"geo_misses":$nMiss,"due":${nMiss - nDef},""" +
+          s""""deferred":$nDef,"queue":"$stateDir/geo_miss_queue"}""")
       case "export" =>
         val outDir = args(2)
         new java.io.File(outDir).mkdirs()
