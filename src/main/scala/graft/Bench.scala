@@ -30,7 +30,7 @@ object Bench {
     "d5_langid", "d6_ngram_jaccard", "d7_minhash_lsh", "d8_simhash",
     "d9_ann_brute_topk", "d10_ann_lsh", "d11_embed_neardup", "d12_edit_distance",
     "d13_ann_lsh_prodparams",
-    "m1_media_meta", "g1_geo_clean", "s5_merge_compact",
+    "m1_media_meta", "g1_geo_clean", "a1_health_ewma", "s5_merge_compact",
     "crawl_extract_jobs", "crawl_rounds")
 
   def main(args: Array[String]): Unit = {

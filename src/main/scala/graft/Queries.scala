@@ -316,6 +316,31 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // A1 health rollup: deterministic synthetic per-(platform, round)
+    // metrics are dumped to aux and DuckDB independently recomputes the
+    // cross-round rollup INCLUDING the closed-form order-dependent EWMA
+    // (ewma_n = 0.9^n·x_0 + Σ 0.1·0.9^(n-i)·x_i — database.py:248-278's
+    // arrival-order fold at round granularity).
+    "a1_health_ewma" -> ((s, dir) => {
+      val plats = array(Seq("platform_104", "platform_1111", "platform_cakeresume",
+        "platform_yes123", "platform_yourator").map(lit): _*)
+      val id = col("doc_id")
+      val succ = lit(90L) + pmod(id * 3, lit(10))
+      val fail = pmod(id, lit(9))
+      val m = t(s, dir, "documents").filter(id < 40)
+        .select(
+          element_at(plats, (pmod(id, lit(5)) + 1).cast("int")).as("platform"),
+          floor(id / 5).cast("int").as("round"),
+          (succ + fail).cast("long").as("total_requests"),
+          succ.cast("long").as("success_requests"),
+          (succ - pmod(id, lit(4))).cast("long").as("extraction_success"),
+          fail.cast("long").as("extraction_failure"),
+          (lit(120.0) + pmod(id * 13, lit(400)) / 7.0).as("avg_latency_ms"),
+          pmod(id, lit(3)).cast("long").as("invalid_jobs"))
+      OracleAux.dump(m, "a1_metrics")
+      graft.jobs.Reports.platformHealth(m).orderBy("platform")
+    }),
+
     // S5 MERGE compaction: three synthetic rounds of deltas over a shared key
     // space with planted NULL-vs-value collisions; the fold must implement
     // ON-DUPLICATE-KEY-UPDATE semantics (latest wins, IFNULL guard on
@@ -651,6 +676,23 @@ object Queries {
          |FROM s
          |WHERE title IS NOT NULL AND regexp_extract(url, 'jobs/(\\d+)', 1) <> ''
          |ORDER BY source_id""".stripMargin,
+
+    "a1_health_ewma" ->
+      s"""WITH m AS (SELECT * FROM ${OracleAux.rp("a1_metrics")}),
+         |w AS (SELECT *,
+         |  row_number() OVER (PARTITION BY platform ORDER BY round) - 1 AS i,
+         |  count(*) OVER (PARTITION BY platform) - 1 AS n FROM m)
+         |SELECT platform,
+         |  CAST(sum(total_requests) AS BIGINT) AS total_requests,
+         |  CAST(sum(success_requests) AS BIGINT) AS success_requests,
+         |  CAST(sum(total_requests) - sum(success_requests) AS BIGINT) AS failed_requests,
+         |  CAST(sum(extraction_success) AS BIGINT) AS extraction_success,
+         |  CAST(sum(extraction_failure) AS BIGINT) AS extraction_failure,
+         |  CAST(round(sum(CASE WHEN i = 0 THEN avg_latency_ms * power(0.9, n)
+         |       ELSE avg_latency_ms * 0.1 * power(0.9, n - i) END)) AS BIGINT)
+         |    AS avg_latency_ms_ewma,
+         |  CAST(sum(invalid_jobs) AS BIGINT) AS invalid_jobs
+         |FROM w GROUP BY platform ORDER BY platform""".stripMargin,
 
     "s5_merge_compact" ->
       """WITH u AS (
