@@ -37,13 +37,19 @@ final class RoundState(spark: SparkSession, stateDir: String) {
 
   /** Union of all committed deltas of a table (empty frame via schema sample
     * must be handled by callers when no rounds are committed yet).
+    * If the table has a checkpoint base (see [[checkpointTable]]), the base
+    * replaces the deltas it folded — readers list O(rounds-since-checkpoint)
+    * dirs instead of O(all rounds).
     */
   def readCommitted(table: String): Option[DataFrame] = {
-    val rounds = committedRounds
-    val paths = rounds.map(r => s"$stateDir/$table/round=$r")
+    val base = checkpointedBase(table)
+    val paths = committedRounds.filter(r => base.forall(r > _))
+      .map(r => s"$stateDir/$table/round=$r")
       .filter(p => Files.isDirectory(Paths.get(p)))
-    if (paths.isEmpty) None
-    else Some(spark.read.parquet(paths: _*))
+    val parts =
+      base.map(b => spark.read.parquet(s"$stateDir/$table/_base_$b").drop("_round")).toSeq ++
+        (if (paths.isEmpty) Nil else Seq(spark.read.parquet(paths: _*)))
+    if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
   }
 
   /** Snapshot read AS OF a committed round (inclusive) — time travel over
@@ -59,17 +65,87 @@ final class RoundState(spark: SparkSession, stateDir: String) {
   }
 
   /** Like readCommitted, but re-attaches each delta's round as `_round`
-    * (needed by MERGE-at-read compaction to order versions).
+    * (needed by MERGE-at-read compaction to order versions). A checkpoint
+    * base, when present, preserves `_round` per row, so compaction ordering
+    * survives the fold.
     */
   def readCommittedWithRound(table: String): Option[DataFrame] = {
+    val base = checkpointedBase(table)
     val rounds = committedRounds
+      .filter(r => base.forall(r > _))
       .filter(r => Files.isDirectory(Paths.get(s"$stateDir/$table/round=$r")))
-    if (rounds.isEmpty) None
-    else Some(rounds.map { r =>
+    val deltas = rounds.map { r =>
       spark.read.parquet(s"$stateDir/$table/round=$r")
         .withColumn("_round", org.apache.spark.sql.functions.lit(r))
-    }.reduce(_ unionByName _))
+    }
+    val baseDf = base.map(b => spark.read.parquet(s"$stateDir/$table/_base_$b"))
+    val parts = baseDf.toSeq ++ deltas
+    if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
   }
+
+  /** The round a table's checkpoint base folds up to, if one exists. */
+  def checkpointedBase(table: String): Option[Int] = {
+    val p = Paths.get(stateDir, "_checkpoints", s"$table.json")
+    if (!Files.exists(p)) return None
+    graft.extract.Json.parse(Files.readString(p)) match {
+      case o: graft.extract.Json.JObj =>
+        o.get("base").collect { case graft.extract.Json.JInt(v) => v.toInt }
+      case _ => None
+    }
+  }
+
+  /** CHECKPOINT a delta table: fold every committed delta (plus any earlier
+    * base) into one base snapshot covering rounds <= the latest commit —
+    * the Iceberg manifest-compaction analog. A 10^4-round state otherwise
+    * makes every reader list 10^4 delta dirs; after a checkpoint, readers
+    * see base + O(rounds since). Raw deltas stay on disk, so [[readAsOf]]
+    * time travel is unaffected (run [[vacuumTable]] to trade it for space).
+    * Per-row `_round` provenance is preserved inside the base, so
+    * MERGE-at-read compaction ordering still holds. Not for full-snapshot
+    * tables ([[readLatestSnapshot]]) — those already self-compact.
+    *
+    * Returns the base round, or None when the table has no committed data.
+    */
+  def checkpointTable(table: String): Option[Int] = committedRounds.lastOption.flatMap { upTo =>
+    readCommittedWithRound(table).map { df =>
+      val dest = Paths.get(stateDir, table, s"_base_$upTo")
+      val tmp = Paths.get(stateDir, table, s"._base_$upTo.tmp")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      if (Files.isDirectory(dest)) { // re-checkpoint at the same round
+        Files.walk(dest).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+      }
+      Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val mdir = Paths.get(stateDir, "_checkpoints")
+      Files.createDirectories(mdir)
+      val mtmp = mdir.resolve(s".$table.json.tmp")
+      Files.writeString(mtmp, s"""{"base": $upTo}""")
+      Files.move(mtmp, mdir.resolve(s"$table.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      upTo
+    }
+  }
+
+  /** Delete the delta dirs (and any older base) a checkpoint base covers.
+    * Frees space and dir-listing work at the cost of [[readAsOf]] time
+    * travel below the base round.
+    */
+  def vacuumTable(table: String): Unit =
+    checkpointedBase(table).foreach { b =>
+      def rmTree(p: Path): Unit = if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+      }
+      committedRounds.filter(_ <= b)
+        .foreach(r => rmTree(Paths.get(stateDir, table, s"round=$r")))
+      Files.list(Paths.get(stateDir, table)).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("_base_") && n.stripPrefix("_base_").toIntOption.exists(_ < b)
+        }
+        .foreach(rmTree)
+    }
 
   /** Latest committed FULL-SNAPSHOT table (e.g. the sharded seen filters):
     * unlike delta tables, only the newest committed round's write is current.

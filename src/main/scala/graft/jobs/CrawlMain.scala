@@ -26,6 +26,9 @@ object CrawlMain {
     val cpus = opts.getOrElse("--cpus", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     val seed = opts.getOrElse("--seed", "42").toLong
     val pagesDir = opts.get("--pagesDir")
+    // fold delta tables into a checkpoint base every K rounds (0 = off):
+    // bounds reader dir-listing at O(K) instead of O(rounds) on long crawls
+    val checkpointEvery = opts.getOrElse("--checkpointEvery", "0").toInt
 
     // respect an externally supplied master (spark-submit --master
     // local-cluster[N,C,M] / a real cluster); default to local[cpus]
@@ -65,6 +68,9 @@ object CrawlMain {
       totalExtracted += st.extracted
       if (st.frontier == 0) continue = false
       round += 1
+      if (checkpointEvery > 0 && round % checkpointEvery == 0)
+        Seq("seen", "crawled", "discovered", "metrics", "cooling")
+          .foreach(state.checkpointTable)
     }
     val wallSec = (System.nanoTime() - t0) / 1e9
     val urlsPerSec = if (wallSec > 0) totalScheduled / wallSec else 0.0

@@ -1,0 +1,100 @@
+package graft.frontier
+
+import graft.jobs.{Compaction, CrawlRound}
+import graft.synth.PagesGen
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Checkpoint compaction of the round-delta state (the Iceberg
+  * manifest-compaction analog): readers see identical data through a base
+  * snapshot, resumes continue correctly, MERGE ordering survives, and
+  * vacuum bounds the dir count.
+  */
+class StateSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-state-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def runAll(stateDir: String, stopAfter: Int = Int.MaxValue): RoundState = {
+    val pages = PagesGen.pages(spark, 1200L).toDF()
+    val seeds = PagesGen.seedUrls(spark, 1200L).toDF()
+    val policy = PagesGen.hostPolicy(spark).toDF()
+    val state = new RoundState(spark, stateDir)
+    var round = state.nextRound
+    var continue = true
+    while (continue && round < stopAfter) {
+      val st = CrawlRound.run(spark, pages, seeds, policy, state, round, 60.0)
+      if (st.frontier == 0) continue = false
+      round += 1
+    }
+    state
+  }
+
+  private def tmp(): String = Files.createTempDirectory("graft_state_").toString
+
+  test("checkpoint + resume equals a straight-through run; time travel survives") {
+    val dir = tmp()
+    val state = runAll(dir, stopAfter = 2)
+    // fold the first 2 rounds of every in-round table into base snapshots
+    Seq("seen", "crawled", "discovered", "metrics", "cooling", "ordering")
+      .foreach(state.checkpointTable)
+    assert(state.checkpointedBase("seen").contains(1))
+    val resumed = runAll(dir) // rounds 2.. read through the base
+    val straight = runAll(tmp())
+    def ord(s: RoundState) = s.readCommitted("ordering").get
+      .select("round", "host", "sched_rank", "canon_url")
+      .collect().map(_.toString).sorted
+    assert(ord(resumed).sameElements(ord(straight)))
+    assert(resumed.readCommitted("seen").get.count() ==
+      straight.readCommitted("seen").get.count())
+    // raw deltas still on disk -> readAsOf time travel below the base works
+    val asOf0 = resumed.readAsOf("ordering", 0).get
+    assert(asOf0.filter(col("round") > 0).isEmpty && asOf0.count() > 0)
+  }
+
+  test("per-row _round provenance survives the fold — MERGE ordering intact") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp()
+    val state = new RoundState(spark, dir)
+    def df(rows: Seq[(String, String, String, Option[String])]) =
+      rows.toDF("platform", "source_id", "name", "description")
+    state.writeDelta("out_companies", 0, df(Seq(
+      ("p", "A", "A0", Some("d0")), ("p", "B", "B0", None))))
+    state.commit(0, Map("round" -> 0))
+    state.writeDelta("out_companies", 1, df(Seq(("p", "A", "A1", None))))
+    state.commit(1, Map("round" -> 1))
+    state.checkpointTable("out_companies")
+    // newer delta AFTER the checkpoint
+    state.writeDelta("out_companies", 2, df(Seq(("p", "B", "B2", Some("d2")))))
+    state.commit(2, Map("round" -> 2))
+    val cur = Compaction.readCompacted(state, "out_companies",
+        Seq("platform", "source_id"), ifnullCols = Seq("description")).get
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(cur("A").getString(2) == "A1")   // round-1 name wins inside the base
+    assert(cur("A").getString(3) == "d0")   // IFNULL guard across base rows
+    assert(cur("B").getString(2) == "B2")   // post-checkpoint delta wins
+    assert(cur("B").getString(3) == "d2")
+  }
+
+  test("vacuum removes covered deltas; readers unchanged") {
+    val dir = tmp()
+    val state = runAll(dir)
+    val before = state.readCommitted("seen").get.count()
+    state.checkpointTable("seen")
+    state.vacuumTable("seen")
+    // all covered delta dirs are gone
+    val left = Files.list(Paths.get(dir, "seen")).iterator()
+    var names = List.empty[String]
+    while (left.hasNext) names ::= left.next().getFileName.toString
+    assert(names.forall(_.startsWith("_base_")), names.toString)
+    assert(state.readCommitted("seen").get.count() == before)
+  }
+}
