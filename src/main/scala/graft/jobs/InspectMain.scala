@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   *   runMain graft.jobs.InspectMain <stateDir> <cmd> [args]
   *   cmd ∈ health | alerts | missing | counts | jobs | companies |
   *         quarantine | rounds | geo <cacheDir> | export <outDir> |
-  *         bootstrap <warehouseDir> | publish <warehouseDir>
+  *         bootstrap <warehouseDir> | publish <warehouseDir> |
+  *         checkpoint <table...> | vacuum <table...>
   *
   * `jobs` / `companies` show the MERGE-compacted current view (S5 read
   * path): latest row per (platform, source_id) with IFNULL guards.
@@ -80,6 +81,13 @@ object InspectMain {
         Export.toCsv(Compaction.currentCompanies(state).get, s"$outDir/tb_companies.csv")
         Export.toJson(Compaction.currentJobs(state).get, s"$outDir/tb_jobs_json")
         println(s"exported to $outDir")
+      case "checkpoint" =>
+        // fold round deltas into a base snapshot (manifest compaction)
+        args.drop(2).foreach { t =>
+          println(s"$t -> base ${state.checkpointTable(t)}")
+        }
+      case "vacuum" =>
+        args.drop(2).foreach { t => state.vacuumTable(t); println(s"$t vacuumed") }
       case "bootstrap" =>
         // S8 DDL auto-sync (database.py:336-383): register every table
         graft.schema.Schemas.ensureTables(spark, args(2))
