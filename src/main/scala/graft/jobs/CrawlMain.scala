@@ -29,6 +29,11 @@ object CrawlMain {
     // fold delta tables into a checkpoint base every K rounds (0 = off):
     // bounds reader dir-listing at O(K) instead of O(rounds) on long crawls
     val checkpointEvery = opts.getOrElse("--checkpointEvery", "0").toInt
+    // seen-filter shard count for NEW states (resumed states keep the count
+    // in their manifest). Size >= cluster cores: probe/build parallelism is
+    // bounded by it — a 1000-executor deployment wants thousands.
+    val seenShards = opts.getOrElse("--seenShards",
+      graft.frontier.ShardedSeen.DefaultShards.toString).toInt
 
     // respect an externally supplied master (spark-submit --master
     // local-cluster[N,C,M] / a real cluster); default to local[cpus]
@@ -62,7 +67,7 @@ object CrawlMain {
     val bloomCapacity = math.max(nPages * 2, 1000000L)
     while (continue && round < maxRounds) {
       val st = CrawlRound.run(spark, pages, seeds, policy, state, round, roundSeconds,
-        bloomCapacity = bloomCapacity)
+        bloomCapacity = bloomCapacity, nShards = seenShards)
       roundStats += st
       totalScheduled += st.scheduled
       totalExtracted += st.extracted
