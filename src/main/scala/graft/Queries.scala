@@ -281,6 +281,19 @@ object Queries {
         .orderBy("source", "doc_a", "doc_b")
     }),
 
+    // Winnowing fingerprints (rolling-hash document fingerprinting): the
+    // per-doc k-gram hash arrays are dumped to aux and DuckDB independently
+    // re-runs the window-minimum + distinct selection — a MATCH certifies
+    // the winnowing logic (the hashes themselves come from the same dump,
+    // the d8 pattern, since DuckDB has no xxhash64).
+    "d14_winnow_fp" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      OracleAux.dump(docs.select(col("doc_id"),
+        graft.ops.TextOps.kgramHashes(col("text"), 8).as("grams")), "d14_grams")
+      graft.ops.TextOps.winnowFingerprints(docs, k = 8, w = 4)
+        .orderBy("doc_id", "fingerprint")
+    }),
+
     "m1_media_meta" -> ((s, dir) => {
       graft.ops.Multimodal.decodeMeta(
         graft.ops.Multimodal.asMedia(t(s, dir, "documents"))).toDF()
@@ -500,7 +513,9 @@ object Queries {
         |  len(string_split(text, ' ')) AS n_tokens,
         |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
         |  length(text) AS n_chars,
-        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_proxy
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_proxy,
+        |  CAST(len(regexp_extract_all(text,
+        |    ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS INT) AS n_bpe_pretokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d4_quality_score" ->
       """SELECT doc_id,
@@ -567,6 +582,17 @@ object Queries {
         |  ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE levenshtein(substring(a.text,1,30), substring(b.text,1,30)) <= 10
         |ORDER BY a.source, doc_a, doc_b""".stripMargin,
+    // Independent winnowing re-run over the dumped k-gram hashes: window
+    // minima (w=4) + distinct, exploded.
+    "d14_winnow_fp" ->
+      s"""WITH g AS (SELECT doc_id, grams FROM ${OracleAux.rp("d14_grams")}),
+         |m AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, greatest(len(grams) - 3, 0) + 1),
+         |    j -> list_min(grams[j:j+3]))) AS fps
+         |FROM g)
+         |SELECT doc_id, unnest(fps) AS fingerprint FROM m
+         |ORDER BY doc_id, fingerprint""".stripMargin,
+
     "m1_media_meta" ->
       """SELECT doc_id, 'image/fake' AS kind,
         |  octet_length(CAST(text AS BLOB)) AS n_bytes,

@@ -36,15 +36,23 @@ object TextOps {
       md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"),
       xxhash64(col("text")).as("fast_hash64"))
 
-  /** Token statistics: whitespace tokens, distinct tokens, chars, and a
-    * BPE-ish subword proxy (4-char chunks ceil).
+  /** GPT-2-style pretokenizer pattern, RE2-safe (no lookahead): letters,
+    * digits, punctuation runs (each with optional leading space), then
+    * whitespace runs.
+    */
+  val BpePretokenPattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token statistics: whitespace tokens, distinct tokens, chars, a BPE-ish
+    * subword proxy (4-char chunks ceil), and the GPT-2-style pretokenizer
+    * match count (the unit BPE merges start from).
     */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       size(tokens(col("text"))).as("n_tokens"),
       size(array_distinct(tokens(col("text")))).as("n_distinct_tokens"),
       length(col("text")).as("n_chars"),
-      ceil(length(col("text")) / 4.0).cast("long").as("n_subwords_proxy"))
+      ceil(length(col("text")) / 4.0).cast("long").as("n_subwords_proxy"),
+      regexp_count(col("text"), lit(BpePretokenPattern)).as("n_bpe_pretokens"))
 
   private val stopwords = Seq("the", "a", "of", "is", "to", "and", "in")
 
@@ -318,6 +326,59 @@ object TextOps {
       .withColumn("jaccard", round(inter.cast("double") / union, 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Winnowing k-gram hashes of a text column: xxhash64 of each k-char
+    * substring (1-based positions; empty array when the text is shorter
+    * than k). The guard keeps sequence() ascending.
+    */
+  def kgramHashes(text: Column, k: Int): Column = {
+    val n = length(text) - (k - 1)
+    when(n >= 1, transform(sequence(lit(1), n), i => xxhash64(text.substr(i, lit(k)))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Document fingerprinting by WINNOWING (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS rolling-hash scheme, public algorithm): hash every
+    * k-gram, slide a w-hash window, keep each window's minimum, distinct the
+    * kept hashes. Any shared substring of length >= w + k - 1 between two
+    * documents is GUARANTEED to share a fingerprint — the standard
+    * plagiarism/near-dup blocking key.
+    *
+    * Pure Catalyst HOFs — whole-stage codegen, no UDF; linear per doc.
+    * Output: one (doc_id, fingerprint) row per distinct kept hash.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val grams = kgramHashes(col("text"), k)
+    val nw = size(grams) - (w - 1)
+    val mins = when(nw >= 1,
+        transform(sequence(lit(1), nw), j => array_min(slice(grams, j, lit(w)))))
+      .otherwise(array().cast("array<bigint>"))
+    docs.select(col("doc_id"), explode(array_distinct(mins)).as("fingerprint"))
+  }
+
+  /** Winnowing near-dup pairs: candidates share >= `minShared` fingerprints.
+    * The fingerprint equi-join is the blocking key (id-only pairs — see
+    * [[minhashLsh]]); shared-count aggregation replaces a similarity verify.
+    * Scale shape: shuffle ∝ fingerprint collisions; a fingerprint shared by
+    * m docs contributes m² pairs, so (as with any inverted-index join) drop
+    * stop-fingerprints above a document-frequency cap for web-scale corpora.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 4, minShared: Int = 2,
+                  maxDocFreq: Int = 1000): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w)
+    // stop-fingerprint cap: a fingerprint in >maxDocFreq docs is a template
+    // artifact and only burns m² join rows without discriminating
+    val rare = fps.groupBy("fingerprint").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDocFreq).select("fingerprint")
+    val kept = fps.join(rare, Seq("fingerprint"))
+    val a = kept.select(col("fingerprint"), col("doc_id").as("doc_a"))
+    val b = kept.select(col("fingerprint"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fingerprint"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** 64-bit SimHash of whitespace-token sets: per-bit majority vote over

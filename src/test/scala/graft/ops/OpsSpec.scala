@@ -146,6 +146,31 @@ class OpsSpec extends AnyFunSuite {
     assert(e2.contains((4L, 5L)) && e2.contains((4L, 6L))) // short-block pairs
   }
 
+  test("winnowing: shared substrings of length >= w+k-1 guarantee a shared fingerprint") {
+    val spark2 = spark
+    import spark2.implicits._
+    // k=8, w=4 -> any shared run of >= 11 chars must share a fingerprint
+    val shared = "ABCDEFGHIJKLMNOPQR" // 18 chars, embedded in different contexts
+    val corpus = Seq(
+      (1L, s"xxxx${shared}yyyyyyyy"),
+      (2L, s"zz1z2z3z${shared}qqqq"),
+      (3L, "totally unrelated content 0123456789 abcdefgh")
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(corpus)
+    val f1 = fps.filter(col("doc_id") === 1).select("fingerprint")
+    val f2 = fps.filter(col("doc_id") === 2).select("fingerprint")
+    assert(f1.join(f2, Seq("fingerprint"), "left_semi").count() > 0,
+      "planted shared substring produced no shared fingerprint")
+    // pairs op finds exactly the planted pair at minShared=1
+    val pairs = TextOps.winnowPairs(corpus, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // short/empty texts don't blow up (guarded empty arrays)
+    val tiny = Seq((9L, "short"), (10L, "")).toDF("doc_id", "text")
+    assert(TextOps.winnowFingerprints(tiny).isEmpty)
+  }
+
   test("exact dedup collapses a duplicated corpus") {
     val d = docs
     val n = d.count()
