@@ -349,12 +349,18 @@ object TextOps {
     * Output: one (doc_id, fingerprint) row per distinct kept hash.
     */
   def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
-    val grams = kgramHashes(col("text"), k)
-    val nw = size(grams) - (w - 1)
+    // STAGED projections: `grams` must be a bound attribute before the
+    // window transform references it, or Catalyst inlines the whole k-gram
+    // computation into EVERY slice() call — O(len²) per document instead of
+    // O(len·w) (CollapseProject keeps the stage split because the alias is
+    // non-cheap and multiply-referenced; caught live as a 100× bench hit)
+    val withGrams = docs.select(col("doc_id"), kgramHashes(col("text"), k).as("grams"))
+    val nw = size(col("grams")) - (w - 1)
     val mins = when(nw >= 1,
-        transform(sequence(lit(1), nw), j => array_min(slice(grams, j, lit(w)))))
+        transform(sequence(lit(1), nw), j => array_min(slice(col("grams"), j, lit(w)))))
       .otherwise(array().cast("array<bigint>"))
-    docs.select(col("doc_id"), explode(array_distinct(mins)).as("fingerprint"))
+    val withMins = withGrams.select(col("doc_id"), mins.as("mins"))
+    withMins.select(col("doc_id"), explode(array_distinct(col("mins"))).as("fingerprint"))
   }
 
   /** Winnowing near-dup pairs: candidates share >= `minShared` fingerprints.
