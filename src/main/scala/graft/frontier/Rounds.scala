@@ -1,33 +1,77 @@
 package graft.frontier
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
+import java.nio.charset.StandardCharsets
 
 /** Iceberg-style snapshot/manifest layer over partitioned parquet
   * (SURVEY.md §7.0 — no Iceberg runtime jars ship in /opt/spark/jars, so
   * rounds commit through a thin manifest: state is only visible once the
   * round's manifest file exists, making resume atomic and replayable).
   *
+  * All metadata I/O goes through the Hadoop `FileSystem` API resolved from
+  * `stateDir`'s scheme, so the state can live on HDFS/S3A/file:// alike —
+  * at the design point (10^10-URL frontier) it must: the driver-local POSIX
+  * layer this replaces was the one piece that only worked single-node.
+  * Commits are create-temp-then-rename to a FRESH name (atomic on HDFS and
+  * local file systems; never rename-over-existing, which the FileSystem
+  * contract does not make atomic).
+  *
   * Layout under `stateDir`:
   * {{{
-  *   <table>/round=<k>/(parquet)   state deltas / outputs per round
-  *   _manifest/round_<k>.json      commit marker, written last
+  *   <table>/round=<k>/(parquet)        state deltas / outputs per round
+  *   <table>/_base_<k>_a<j>/(parquet)   checkpoint base snapshots (attempt j)
+  *   _checkpoints/<table>/ckpt_<s>.json log-structured base pointer, max s wins
+  *   _manifest/round_<k>.json           commit marker, written last
+  *   _blobs/<name>_round_<k>.bin        binary sidecars
   * }}}
+  *
+  * Checkpoint crash-safety: a new base lands under a never-before-used
+  * attempt dir, and the pointer file referencing it is written (to a fresh
+  * sequence number) only after the base rename succeeded. A crash anywhere
+  * leaves either the old pointer + old base (stale but valid) or an orphan
+  * base dir no pointer references (ignored; vacuum prunes it) — readers
+  * never see a pointer to a missing base.
   */
 final class RoundState(spark: SparkSession, stateDir: String) {
 
-  private val manifestDir: Path = Paths.get(stateDir, "_manifest")
+  private val root = new Path(stateDir)
+  private val fs: FileSystem = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val manifestDir = new Path(root, "_manifest")
 
-  def committedRounds: Seq[Int] = {
-    if (!Files.isDirectory(manifestDir)) return Seq.empty
-    Files.list(manifestDir).iterator().asScala
-      .map(_.getFileName.toString)
+  private def isDir(p: Path): Boolean =
+    try fs.getFileStatus(p).isDirectory catch { case _: java.io.FileNotFoundException => false }
+
+  private def list(dir: Path): Seq[String] =
+    try fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+
+  private def readString(p: Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Atomic publish: write bytes to a dot-tmp sibling, rename to the (fresh)
+    * final name. `replace` deletes a stale leftover target first — only used
+    * where the target is not yet visible to any reader (uncommitted blobs).
+    */
+  private def writeAtomic(dest: Path, bytes: Array[Byte], replace: Boolean = false): Unit = {
+    fs.mkdirs(dest.getParent)
+    val tmp = new Path(dest.getParent, "." + dest.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (replace && fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"rename $tmp -> $dest failed")
+  }
+
+  def committedRounds: Seq[Int] =
+    list(manifestDir)
       .collect { case s if s.startsWith("round_") && s.endsWith(".json") =>
         s.stripPrefix("round_").stripSuffix(".json").toInt
       }
-      .toSeq.sorted
-  }
+      .sorted
 
   def nextRound: Int = committedRounds.lastOption.map(_ + 1).getOrElse(0)
 
@@ -42,12 +86,12 @@ final class RoundState(spark: SparkSession, stateDir: String) {
     * dirs instead of O(all rounds).
     */
   def readCommitted(table: String): Option[DataFrame] = {
-    val base = checkpointedBase(table)
-    val paths = committedRounds.filter(r => base.forall(r > _))
+    val ckpt = checkpointInfo(table)
+    val paths = committedRounds.filter(r => ckpt.forall(r > _._1))
       .map(r => s"$stateDir/$table/round=$r")
-      .filter(p => Files.isDirectory(Paths.get(p)))
+      .filter(p => isDir(new Path(p)))
     val parts =
-      base.map(b => spark.read.parquet(s"$stateDir/$table/_base_$b").drop("_round")).toSeq ++
+      ckpt.map { case (_, d) => spark.read.parquet(s"$stateDir/$table/$d").drop("_round") }.toSeq ++
         (if (paths.isEmpty) Nil else Seq(spark.read.parquet(paths: _*)))
     if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
   }
@@ -59,7 +103,7 @@ final class RoundState(spark: SparkSession, stateDir: String) {
     */
   def readAsOf(table: String, asOfRound: Int): Option[DataFrame] = {
     val rounds = committedRounds.filter(_ <= asOfRound)
-      .filter(r => Files.isDirectory(Paths.get(s"$stateDir/$table/round=$r")))
+      .filter(r => isDir(new Path(s"$stateDir/$table/round=$r")))
     if (rounds.isEmpty) None
     else Some(spark.read.parquet(rounds.map(r => s"$stateDir/$table/round=$r"): _*))
   }
@@ -70,29 +114,45 @@ final class RoundState(spark: SparkSession, stateDir: String) {
     * survives the fold.
     */
   def readCommittedWithRound(table: String): Option[DataFrame] = {
-    val base = checkpointedBase(table)
+    val ckpt = checkpointInfo(table)
     val rounds = committedRounds
-      .filter(r => base.forall(r > _))
-      .filter(r => Files.isDirectory(Paths.get(s"$stateDir/$table/round=$r")))
+      .filter(r => ckpt.forall(r > _._1))
+      .filter(r => isDir(new Path(s"$stateDir/$table/round=$r")))
     val deltas = rounds.map { r =>
       spark.read.parquet(s"$stateDir/$table/round=$r")
         .withColumn("_round", org.apache.spark.sql.functions.lit(r))
     }
-    val baseDf = base.map(b => spark.read.parquet(s"$stateDir/$table/_base_$b"))
+    val baseDf = ckpt.map { case (_, d) => spark.read.parquet(s"$stateDir/$table/$d") }
     val parts = baseDf.toSeq ++ deltas
     if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
   }
 
-  /** The round a table's checkpoint base folds up to, if one exists. */
-  def checkpointedBase(table: String): Option[Int] = {
-    val p = Paths.get(stateDir, "_checkpoints", s"$table.json")
-    if (!Files.exists(p)) return None
-    graft.extract.Json.parse(Files.readString(p)) match {
-      case o: graft.extract.Json.JObj =>
-        o.get("base").collect { case graft.extract.Json.JInt(v) => v.toInt }
-      case _ => None
+  private def ckptDir(table: String) = new Path(root, s"_checkpoints/$table")
+
+  /** Newest checkpoint pointer: (base round, base dir name). Pointer files
+    * are append-only `ckpt_<seq>.json`; the max sequence wins, so a reader
+    * racing a checkpoint sees either the old or the new pointer — never a
+    * missing base.
+    */
+  private def checkpointInfo(table: String): Option[(Int, String)] = {
+    val seqs = list(ckptDir(table))
+      .collect { case s if s.startsWith("ckpt_") && s.endsWith(".json") =>
+        s.stripPrefix("ckpt_").stripSuffix(".json").toInt
+      }
+    seqs.maxOption.flatMap { s =>
+      graft.extract.Json.parse(readString(new Path(ckptDir(table), s"ckpt_$s.json"))) match {
+        case o: graft.extract.Json.JObj =>
+          for {
+            b <- o.get("base").collect { case graft.extract.Json.JInt(v) => v.toInt }
+            d <- o.get("dir").collect { case graft.extract.Json.JStr(v) => v }
+          } yield (b, d)
+        case _ => None
+      }
     }
   }
+
+  /** The round a table's checkpoint base folds up to, if one exists. */
+  def checkpointedBase(table: String): Option[Int] = checkpointInfo(table).map(_._1)
 
   /** CHECKPOINT a delta table: fold every committed delta (plus any earlier
     * base) into one base snapshot covering rounds <= the latest commit —
@@ -108,43 +168,44 @@ final class RoundState(spark: SparkSession, stateDir: String) {
     */
   def checkpointTable(table: String): Option[Int] = committedRounds.lastOption.flatMap { upTo =>
     readCommittedWithRound(table).map { df =>
-      val dest = Paths.get(stateDir, table, s"_base_$upTo")
-      val tmp = Paths.get(stateDir, table, s"._base_$upTo.tmp")
+      // fresh attempt dir: re-checkpointing at the same round never touches
+      // the base a live pointer references
+      val attempt = Iterator.from(0)
+        .find(j => !fs.exists(new Path(root, s"$table/_base_${upTo}_a$j"))).get
+      val baseName = s"_base_${upTo}_a$attempt"
+      val tmp = new Path(root, s"$table/._base_${upTo}_a$attempt.tmp")
       df.write.mode("overwrite").parquet(tmp.toString)
-      if (Files.isDirectory(dest)) { // re-checkpoint at the same round
-        Files.walk(dest).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
-      }
-      Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      val mdir = Paths.get(stateDir, "_checkpoints")
-      Files.createDirectories(mdir)
-      val mtmp = mdir.resolve(s".$table.json.tmp")
-      Files.writeString(mtmp, s"""{"base": $upTo}""")
-      Files.move(mtmp, mdir.resolve(s"$table.json"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      if (!fs.rename(tmp, new Path(root, s"$table/$baseName")))
+        throw new java.io.IOException(s"rename $tmp -> $table/$baseName failed")
+      // pointer written only after the base landed
+      val seq = list(ckptDir(table))
+        .collect { case s if s.startsWith("ckpt_") && s.endsWith(".json") =>
+          s.stripPrefix("ckpt_").stripSuffix(".json").toInt
+        }.maxOption.getOrElse(-1) + 1
+      writeAtomic(new Path(ckptDir(table), s"ckpt_$seq.json"),
+        s"""{"base": $upTo, "dir": "$baseName"}""".getBytes(StandardCharsets.UTF_8))
       upTo
     }
   }
 
-  /** Delete the delta dirs (and any older base) a checkpoint base covers.
-    * Frees space and dir-listing work at the cost of [[readAsOf]] time
-    * travel below the base round.
+  /** Delete the delta dirs a checkpoint base covers, base dirs the current
+    * pointer does not reference (older rounds and orphaned attempts), and
+    * superseded pointer files. Frees space and dir-listing work at the cost
+    * of [[readAsOf]] time travel below the base round.
     */
   def vacuumTable(table: String): Unit =
-    checkpointedBase(table).foreach { b =>
-      def rmTree(p: Path): Unit = if (Files.exists(p)) {
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
-      }
+    checkpointInfo(table).foreach { case (b, dir) =>
       committedRounds.filter(_ <= b)
-        .foreach(r => rmTree(Paths.get(stateDir, table, s"round=$r")))
-      Files.list(Paths.get(stateDir, table)).iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("_base_") && n.stripPrefix("_base_").toIntOption.exists(_ < b)
+        .foreach(r => fs.delete(new Path(root, s"$table/round=$r"), true))
+      list(new Path(root, table))
+        .filter(n => n.startsWith("_base_") && n != dir)
+        .foreach(n => fs.delete(new Path(root, s"$table/$n"), true))
+      val seqs = list(ckptDir(table))
+        .collect { case s if s.startsWith("ckpt_") && s.endsWith(".json") =>
+          s.stripPrefix("ckpt_").stripSuffix(".json").toInt
         }
-        .foreach(rmTree)
+      seqs.maxOption.foreach(keep => seqs.filter(_ < keep)
+        .foreach(s => fs.delete(new Path(ckptDir(table), s"ckpt_$s.json"), false)))
     }
 
   /** Latest committed FULL-SNAPSHOT table (e.g. the sharded seen filters):
@@ -154,7 +215,7 @@ final class RoundState(spark: SparkSession, stateDir: String) {
     */
   def readLatestSnapshot(table: String): Option[DataFrame] =
     committedRounds.reverse
-      .find(r => Files.isDirectory(Paths.get(s"$stateDir/$table/round=$r")))
+      .find(r => isDir(new Path(s"$stateDir/$table/round=$r")))
       .map(r => spark.read.parquet(s"$stateDir/$table/round=$r"))
 
   /** Row count of one written delta (parquet footer metadata read). */
@@ -163,32 +224,29 @@ final class RoundState(spark: SparkSession, stateDir: String) {
 
   /** Binary sidecar per round (e.g. the carried URL-seen Bloom filter bits).
     * Written before commit; visible like any delta only once the round's
-    * manifest exists.
+    * manifest exists — so replacing a stale leftover from a crashed attempt
+    * of the SAME (uncommitted) round is safe.
     */
-  def writeBlob(name: String, round: Int, bytes: Array[Byte]): Unit = {
-    val dir = Paths.get(stateDir, "_blobs")
-    Files.createDirectories(dir)
-    val tmp = dir.resolve(s".${name}_round_$round.bin.tmp")
-    Files.write(tmp, bytes)
-    Files.move(tmp, dir.resolve(s"${name}_round_$round.bin"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  def writeBlob(name: String, round: Int, bytes: Array[Byte]): Unit =
+    writeAtomic(new Path(root, s"_blobs/${name}_round_$round.bin"), bytes, replace = true)
 
   def readBlob(name: String, round: Int): Option[Array[Byte]] = {
-    val p = Paths.get(stateDir, "_blobs", s"${name}_round_$round.bin")
-    if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
+    val p = new Path(root, s"_blobs/${name}_round_$round.bin")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try Some(org.apache.commons.io.IOUtils.toByteArray(in)) finally in.close()
+    } else None
   }
 
   /** Flat string map of a committed round's manifest (carries e.g. the
     * cumulative seen count so rounds never recount the full history).
     */
   def readManifest(round: Int): Option[Map[String, String]] = {
-    val p = manifestDir.resolve(s"round_$round.json")
-    if (!Files.exists(p)) return None
+    val p = new Path(manifestDir, s"round_$round.json")
+    if (!fs.exists(p)) return None
     // a real JSON parse (not a regex): values containing ',', '}', '"' or
     // escapes survive as commit() grows fields
-    graft.extract.Json.parse(Files.readString(p)) match {
+    graft.extract.Json.parse(readString(p)) match {
       case o: graft.extract.Json.JObj =>
         Some(o.entries.map { case (k, v) => k -> graft.extract.Json.pyStr(v) }.toMap)
       case _ => None
@@ -197,14 +255,11 @@ final class RoundState(spark: SparkSession, stateDir: String) {
 
   /** Commit a round: manifest written last, after all table writes landed. */
   def commit(round: Int, info: Map[String, Any]): Unit = {
-    Files.createDirectories(manifestDir)
     val json = info.map {
       case (k, v: String) => s""""$k": "$v""""
       case (k, v) => s""""$k": $v"""
     }.mkString("{", ", ", "}")
-    val tmp = manifestDir.resolve(s".round_$round.json.tmp")
-    Files.writeString(tmp, json)
-    Files.move(tmp, manifestDir.resolve(s"round_$round.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    writeAtomic(new Path(manifestDir, s"round_$round.json"),
+      json.getBytes(StandardCharsets.UTF_8))
   }
 }

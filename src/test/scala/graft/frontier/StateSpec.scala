@@ -84,6 +84,45 @@ class StateSpec extends AnyFunSuite {
     assert(cur("B").getString(3) == "d2")
   }
 
+  test("state layer works against an explicit file:// URI (Hadoop FileSystem API)") {
+    val dir = "file://" + tmp()
+    val state = runAll(dir, stopAfter = 2)
+    Seq("seen", "ordering").foreach(state.checkpointTable)
+    assert(state.checkpointedBase("ordering").contains(1))
+    val resumed = runAll(dir)
+    val straight = runAll(tmp())
+    def ord(s: RoundState) = s.readCommitted("ordering").get
+      .select("round", "host", "sched_rank", "canon_url")
+      .collect().map(_.toString).sorted
+    assert(ord(resumed).sameElements(ord(straight)))
+  }
+
+  test("re-checkpoint at the same round is crash-safe: fresh attempt dir, pointer flips last") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp()
+    val state = new RoundState(spark, dir)
+    state.writeDelta("t", 0, Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    state.commit(0, Map("round" -> 0))
+    state.checkpointTable("t")
+    val before = state.readCommitted("t").get.collect().map(_.toString).sorted
+    state.checkpointTable("t") // same round again: must not touch the live base
+    assert(state.checkpointedBase("t").contains(0))
+    assert(state.readCommitted("t").get.collect().map(_.toString).sorted
+      .sameElements(before))
+    // both attempts exist until vacuum; vacuum keeps only the referenced one
+    def bases = Files.list(Paths.get(dir, "t")).iterator()
+    var names = List.empty[String]
+    bases.forEachRemaining(p => names ::= p.getFileName.toString)
+    assert(names.count(_.startsWith("_base_")) == 2, names.toString)
+    state.vacuumTable("t")
+    names = List.empty[String]
+    bases.forEachRemaining(p => names ::= p.getFileName.toString)
+    assert(names.count(_.startsWith("_base_")) == 1, names.toString)
+    assert(state.readCommitted("t").get.collect().map(_.toString).sorted
+      .sameElements(before))
+  }
+
   test("vacuum removes covered deltas; readers unchanged") {
     val dir = tmp()
     val state = runAll(dir)
