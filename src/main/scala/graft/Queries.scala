@@ -201,8 +201,13 @@ object Queries {
       val mutated = docs.select((col("doc_id") + 1000000).as("doc_id"),
         array_join(slice(split(col("text"), " "), lit(1),
           greatest(size(split(col("text"), " ")) - 3, lit(1))), " ").as("text"))
+      // maxBucketDocs = 1024 >= the sf0.01 union corpus (1,000 docs), so NO
+      // bucket can exceed it at oracle scale — the cap is structurally
+      // lossless here. At bench scale (sf0.1: 10,000 docs) it drops the
+      // template-family hot buckets whose m² pair blowup dominated the
+      // round-3 d7 bench (201 s) — the documented LSH recall trade.
       graft.ops.TextOps.minhashLsh(docs.select("doc_id", "text").unionByName(mutated),
-          k = 32, bands = 16, threshold = 0.9)
+          k = 32, bands = 16, threshold = 0.9, maxBucketDocs = 1024)
         .orderBy("doc_a", "doc_b")
     }),
 

@@ -119,6 +119,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("band_sig"), plan.take(2000))
   }
 
+  test("d8 production path (maxDist=3) joins on 16-bit combination keys, not 8-bit chunks") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.ops.TextOps.simhashPairs(docs, maxDist = 3))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1500))
+    // the candidate equi-join keys are the Manku-style (blk, blk_key)
+    // combination keys — 2^16 values per block at d=3, vs the 256-value
+    // 8-bit chunks (Θ(n²/64)) the round-3 verdict flagged
+    assert(plan.contains("blk_key") && !plan.contains("chunk_val"), plan.take(2000))
+  }
+
   test("d12 scale path joins on exact segment strings (PassJoin), never source alone") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(graft.ops.TextOps.editDistancePairsSegmented(docs, 10, 30))

@@ -77,6 +77,50 @@ class OpsSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("simhash combination-key blocking is lossless at the routed widths (d=3 and d=4)") {
+    val corpus = withMutations(docs, 1).limit(300)
+    val sigs = TextOps.withSimhash(corpus)
+    def brute(d: Int): Set[(Long, Long)] = {
+      val x = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+      val y = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+      x.join(y, col("doc_a") < col("doc_b"))
+        .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= d)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    for (d <- Seq(3, 4)) { // d=3: 4×16-bit keys; d=4: C(8,4)=70 32-bit keys
+      val blocked = TextOps.simhashPairs(corpus, maxDist = d)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = brute(d)
+      assert(blocked == truth,
+        s"d=$d blocked=${blocked.size} brute=${truth.size} missing=${(truth -- blocked).take(5)}")
+    }
+    assert(brute(3).nonEmpty)
+  }
+
+  test("hot-bucket cap is lossless below the cap; a tiny cap only removes pairs") {
+    val corpus = withMutations(docs, 3)
+    val n = corpus.count().toInt
+    def run(cap: Int) = TextOps.minhashLsh(corpus, k = 32, bands = 16,
+        threshold = 0.9, maxBucketDocs = cap)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = run(0)
+    assert(run(n) == uncapped, "cap >= corpus size must be a no-op")
+    val tiny = run(4)
+    assert(tiny.subsetOf(uncapped), "capping can only drop candidates, never invent")
+  }
+
+  test("lshParams meets the target miss probability at the call threshold") {
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val (b, r) = TextOps.lshParams(t)
+      val miss = math.pow(1 - math.pow(t, r), b)
+      assert(miss < 1e-6, s"t=$t -> ($b bands x $r rows), miss=$miss")
+      assert(b * r <= 128)
+    }
+    // the d6 call's threshold resolves to single-row bands (low-J regime)
+    assert(TextOps.lshParams(0.3)._2 == 1)
+  }
+
   test("lsh ANN reaches high recall vs brute force at the oracle's params") {
     val brute = VectorOps.bruteForceTopK(embeddings, 3)
       .select(col("query_id"), col("neighbor_id")).collect()
