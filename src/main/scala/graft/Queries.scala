@@ -709,7 +709,17 @@ object Queries {
          |ORDER BY source_id""".stripMargin,
 
     "a1_health_ewma" ->
-      s"""WITH m AS (SELECT * FROM ${OracleAux.rp("a1_metrics")}),
+      s"""WITH m0 AS (SELECT * FROM ${OracleAux.rp("a1_metrics")}),
+         |m AS (SELECT platform, round,
+         |  sum(total_requests) AS total_requests,
+         |  sum(success_requests) AS success_requests,
+         |  sum(extraction_success) AS extraction_success,
+         |  sum(extraction_failure) AS extraction_failure,
+         |  CASE WHEN sum(total_requests) > 0
+         |    THEN sum(avg_latency_ms * total_requests) / sum(total_requests)
+         |    ELSE avg(avg_latency_ms) END AS avg_latency_ms,
+         |  sum(invalid_jobs) AS invalid_jobs
+         |  FROM m0 GROUP BY platform, round),
          |w AS (SELECT *,
          |  row_number() OVER (PARTITION BY platform ORDER BY round) - 1 AS i,
          |  count(*) OVER (PARTITION BY platform) - 1 AS n FROM m)

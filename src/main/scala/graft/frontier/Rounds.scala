@@ -108,6 +108,21 @@ final class RoundState(spark: SparkSession, stateDir: String) {
     else Some(spark.read.parquet(rounds.map(r => s"$stateDir/$table/round=$r"): _*))
   }
 
+  /** [[readAsOf]] with each delta's round re-attached as `_round` — the
+    * time-travel analog of [[readCommittedWithRound]] (MERGE-at-read
+    * compaction as a reader at `asOfRound`'s commit saw the table). Reads
+    * raw deltas only, like readAsOf: vacuuming trades this away.
+    */
+  def readAsOfWithRound(table: String, asOfRound: Int): Option[DataFrame] = {
+    val rounds = committedRounds.filter(_ <= asOfRound)
+      .filter(r => isDir(new Path(s"$stateDir/$table/round=$r")))
+    if (rounds.isEmpty) None
+    else Some(rounds.map { r =>
+      spark.read.parquet(s"$stateDir/$table/round=$r")
+        .withColumn("_round", org.apache.spark.sql.functions.lit(r))
+    }.reduce(_ unionByName _))
+  }
+
   /** Like readCommitted, but re-attaches each delta's round as `_round`
     * (needed by MERGE-at-read compaction to order versions). A checkpoint
     * base, when present, preserves `_round` per row, so compaction ordering
@@ -153,6 +168,11 @@ final class RoundState(spark: SparkSession, stateDir: String) {
 
   /** The round a table's checkpoint base folds up to, if one exists. */
   def checkpointedBase(table: String): Option[Int] = checkpointInfo(table).map(_._1)
+
+  /** Every checkpointed table and its base round (dashboard/ops surface). */
+  def checkpointedTables: Map[String, Int] =
+    list(new Path(root, "_checkpoints"))
+      .flatMap(t => checkpointedBase(t).map(t -> _)).toMap
 
   /** CHECKPOINT a delta table: fold every committed delta (plus any earlier
     * base) into one base snapshot covering rounds <= the latest commit —

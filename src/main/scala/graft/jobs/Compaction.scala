@@ -49,24 +49,43 @@ object Compaction {
     */
   def readCompacted(state: RoundState, table: String, keys: Seq[String],
                     ifnullCols: Seq[String] = DefaultIfNullCols,
-                    tiebreakCols: Seq[String] = Seq.empty): Option[DataFrame] =
-    state.readCommittedWithRound(table).map { df =>
-      compact(df, keys, ifnullCols, "_round", tiebreakCols)
+                    tiebreakCols: Seq[String] = Seq.empty,
+                    asOf: Option[Int] = None): Option[DataFrame] = {
+    val deltas = asOf match {
+      case Some(r) => state.readAsOfWithRound(table, r)
+      case None => state.readCommittedWithRound(table)
     }
+    deltas.map(df => compact(df, keys, ifnullCols, "_round", tiebreakCols))
+  }
 
   /** Current tb_jobs view: latest row per (platform, source_id) with the
-    * reference's IFNULL guard on description.
+    * reference's IFNULL guard on description. `asOf` time-travels to an
+    * earlier committed round.
     */
-  def currentJobs(state: RoundState): Option[DataFrame] =
+  def currentJobs(state: RoundState, asOf: Option[Int] = None): Option[DataFrame] =
     readCompacted(state, "out_jobs", Seq("platform", "source_id"),
-      ifnullCols = Seq("description"), tiebreakCols = Seq("url"))
+      ifnullCols = Seq("description"), tiebreakCols = Seq("url"), asOf = asOf)
+
+  /** [[currentJobs]] plus `updated_round` — the round each surviving row was
+    * last upserted in. The reference's /api/jobs orders by `created_at
+    * DESC` (dashboard_server.py:90-99); in the batch state the commit round
+    * is that recency axis.
+    */
+  def currentJobsWithRound(state: RoundState, asOf: Option[Int] = None): Option[DataFrame] = {
+    val deltas = asOf match {
+      case Some(r) => state.readAsOfWithRound("out_jobs", r)
+      case None => state.readCommittedWithRound("out_jobs")
+    }
+    deltas.map(df => compact(df.withColumn("updated_round", col("_round")),
+      Seq("platform", "source_id"), ifnullCols = Seq("description"), "_round", Seq("url")))
+  }
 
   /** Current tb_companies view: latest row per (platform, source_id) with
     * IFNULL guards on description/company_web/company_url.
     */
-  def currentCompanies(state: RoundState): Option[DataFrame] =
+  def currentCompanies(state: RoundState, asOf: Option[Int] = None): Option[DataFrame] =
     readCompacted(state, "out_companies", Seq("platform", "source_id"),
-      ifnullCols = DefaultIfNullCols, tiebreakCols = Seq("name"))
+      ifnullCols = DefaultIfNullCols, tiebreakCols = Seq("name"), asOf = asOf)
 
   /** S8 publish: bootstrap the warehouse DDL ([[graft.schema.Schemas
     * .ensureTables]]) and overwrite the catalog tables with the compacted

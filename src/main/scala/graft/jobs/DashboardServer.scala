@@ -1,8 +1,10 @@
 package graft.jobs
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.extract.Json
 import graft.frontier.RoundState
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
@@ -12,17 +14,30 @@ import java.nio.charset.StandardCharsets
   * zero-dependency JDK HttpServer over a crawl state dir — the same report
   * queries InspectMain exposes as a CLI.
   *
-  * Endpoints (all JSON):
-  *   GET /api/health      platform health rollup (A1)
-  *   GET /api/alerts      validation-failure alarms (A2)
-  *   GET /api/missing     per-column missing-rate audit (A3)
-  *   GET /api/counts      jobs+companies by platform (A4)
-  *   GET /api/rounds      committed round manifests
-  *   GET /                tiny inline dashboard page
+  * Endpoints (all JSON; `?asOf=K` time-travels any data endpoint to the
+  * state as of committed round K — readAsOf over the round manifests):
+  *   GET /api/stats           system rollup: job/company counts, geo
+  *                            coverage %, data_source_layer distribution
+  *                            (dashboard_server.py:32-60)
+  *   GET /api/health          platform health rollup (A1) + the reference's
+  *                            green/yellow/red/gray lamp
+  *                            (dashboard_server.py:70-80)
+  *   GET /api/jobs?limit=N    most recently upserted jobs
+  *                            (dashboard_server.py:90-99; recency = the
+  *                            compacted row's last update round)
+  *   GET /api/alerts          validation-failure alarms (A2)
+  *   GET /api/missing         per-column missing-rate audit (A3)
+  *   GET /api/counts          jobs+companies by platform (A4)
+  *   GET /api/rounds          committed round manifests + checkpoint bases
+  *   GET /                    tiny inline dashboard page
   *
   * Serving is driver-side by design: each endpoint is a small AGGREGATED
-  * frame (per-platform rows), so the collect is bounded by platform count,
-  * never corpus size. Start via [[DashboardServer.main]] or [[start]].
+  * frame (per-platform rows, or a LIMITed sample), so the collect is
+  * bounded, never corpus-sized. Responses are cached keyed by (request URI,
+  * latest committed round) — MERGE-at-read compaction runs once per round
+  * per distinct request, not per hit (round-3 advice); a new commit
+  * invalidates the whole cache. Start via [[DashboardServer.main]] or
+  * [[start]].
   */
 object DashboardServer {
 
@@ -35,17 +50,25 @@ object DashboardServer {
           case null => "null"
           case b: Boolean => b.toString
           case n: java.lang.Number => n.toString
-          case other => graft.extract.Json.dumps(graft.extract.Json.JStr(other.toString))
+          case other => Json.dumps(Json.JStr(other.toString))
         }
-        graft.extract.Json.dumps(graft.extract.Json.JStr(cols(i))) + ":" + v
+        Json.dumps(Json.JStr(cols(i))) + ":" + v
       }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
   }
 
+  /** JSON number grammar — manifest values matching it are emitted raw,
+    * everything else (including "-", "1-2", "007", "NaN") goes through
+    * [[Json.dumps]] as an escaped string.
+    */
+  private val JsonNumber = "-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?".r
+
   private val page =
     """<!doctype html><title>graft crawl dashboard</title>
       |<h1>graft crawl dashboard</h1>
-      |<ul><li><a href="/api/health">health</a></li>
+      |<ul><li><a href="/api/stats">stats</a></li>
+      |<li><a href="/api/health">health</a></li>
+      |<li><a href="/api/jobs?limit=50">recent jobs</a></li>
       |<li><a href="/api/alerts">alerts</a></li>
       |<li><a href="/api/missing">missing rates</a></li>
       |<li><a href="/api/counts">counts</a></li>
@@ -57,6 +80,8 @@ object DashboardServer {
   def start(spark: SparkSession, stateDir: String, port: Int): HttpServer = {
     val state = new RoundState(spark, stateDir)
     val server = HttpServer.create(new InetSocketAddress(port), 0)
+    val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    @volatile var cachedRound = Int.MinValue
 
     def reply(ex: HttpExchange, status: Int, body: String, mime: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -65,39 +90,98 @@ object DashboardServer {
       ex.getResponseBody.write(bytes)
       ex.close()
     }
-    def json(path: String)(body: => String): Unit =
+    def params(ex: HttpExchange): Map[String, String] =
+      Option(ex.getRequestURI.getQuery).toSeq
+        .flatMap(_.split("&"))
+        .flatMap { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) => Some(k -> v)
+            case _ => None
+          }
+        }.toMap
+    def json(path: String)(body: Map[String, String] => String): Unit =
       server.createContext(path, new HttpHandler {
         override def handle(ex: HttpExchange): Unit =
-          try reply(ex, 200, body, "application/json")
-          catch { case e: Throwable =>
-            reply(ex, 500, s"""{"error":${graft.extract.Json.dumps(
-              graft.extract.Json.JStr(String.valueOf(e.getMessage)))}}""",
+          try {
+            val latest = state.committedRounds.lastOption.getOrElse(-1)
+            if (latest != cachedRound) { cache.clear(); cachedRound = latest }
+            val resp = cache.computeIfAbsent(ex.getRequestURI.toString,
+              _ => body(params(ex)))
+            reply(ex, 200, resp, "application/json")
+          } catch { case e: Throwable =>
+            reply(ex, 500, s"""{"error":${Json.dumps(
+              Json.JStr(String.valueOf(e.getMessage)))}}""",
               "application/json")
           }
       })
 
-    json("/api/health") {
-      toJson(Reports.platformHealth(state.readCommitted("metrics").get).orderBy("platform"))
+    def asOfOf(q: Map[String, String]): Option[Int] = q.get("asOf").flatMap(_.toIntOption)
+    def delta(table: String, asOf: Option[Int]): Option[DataFrame] = asOf match {
+      case Some(r) => state.readAsOf(table, r)
+      case None => state.readCommitted(table)
     }
-    json("/api/alerts") {
-      toJson(Reports.validationAlerts(Compaction.currentJobs(state).get))
+
+    json("/api/stats") { q =>
+      val asOf = asOfOf(q)
+      val comps = Compaction.currentCompanies(state, asOf)
+      val jobCount = Compaction.currentJobs(state, asOf).map(_.count()).getOrElse(0L)
+      val compCount = comps.map(_.count()).getOrElse(0L)
+      // geo coverage: jobs with a resolved location (distinct per job key —
+      // append-only deltas re-emit a re-crawled job's location each round)
+      val locCount = delta("out_locations", asOf)
+        .map(_.select("platform", "job_source_id").distinct().count()).getOrElse(0L)
+      val geo = if (jobCount > 0) math.round(locCount * 1000.0 / jobCount) / 10.0 else 0.0
+      val layers = comps.map(_.groupBy("data_source_layer").agg(count(lit(1)).as("n"))
+          .orderBy("data_source_layer").collect()
+          .map(r => s"${Json.dumps(Json.JStr(r.getString(0)))}:${r.getLong(1)}")
+          .mkString("{", ",", "}"))
+        .getOrElse("{}")
+      s"""{"job_count":$jobCount,"company_count":$compCount,""" +
+        s""""geo_coverage":$geo,"layers":$layers}"""
     }
-    json("/api/missing") {
-      toJson(Reports.missingRates(Compaction.currentJobs(state).get))
+    json("/api/health") { q =>
+      val health = Reports.platformHealth(delta("metrics", asOfOf(q)).get)
+      val ratio = col("success_requests").cast("double") / col("total_requests")
+      toJson(health.withColumn("status",
+          when(col("total_requests") <= 0, "gray")
+            .when(ratio >= 0.9, "green")
+            .when(ratio >= 0.7, "yellow")
+            .otherwise("red"))
+        .orderBy("platform"))
     }
-    json("/api/counts") {
-      val jobs = toJson(Reports.countsByPlatform(Compaction.currentJobs(state).get))
-      val comps = toJson(Reports.countsByPlatform(Compaction.currentCompanies(state).get))
+    json("/api/jobs") { q =>
+      val limit = q.get("limit").flatMap(_.toIntOption).getOrElse(50)
+      Compaction.currentJobsWithRound(state, asOfOf(q)) match {
+        case Some(jobs) => toJson(jobs.orderBy(col("updated_round").desc,
+          col("posted_at").desc_nulls_last, col("platform"), col("source_id"))
+          .limit(limit))
+        case None => "[]"
+      }
+    }
+    json("/api/alerts") { q =>
+      toJson(Reports.validationAlerts(Compaction.currentJobs(state, asOfOf(q)).get))
+    }
+    json("/api/missing") { q =>
+      toJson(Reports.missingRates(Compaction.currentJobs(state, asOfOf(q)).get))
+    }
+    json("/api/counts") { q =>
+      val asOf = asOfOf(q)
+      val jobs = toJson(Reports.countsByPlatform(Compaction.currentJobs(state, asOf).get))
+      val comps = toJson(Reports.countsByPlatform(Compaction.currentCompanies(state, asOf).get))
       s"""{"jobs":$jobs,"companies":$comps}"""
     }
-    json("/api/rounds") {
-      state.committedRounds.map { r =>
+    json("/api/rounds") { _ =>
+      val rounds = state.committedRounds.map { r =>
         val m = state.readManifest(r).getOrElse(Map.empty)
         m.map { case (k, v) =>
-          val num = v.nonEmpty && v.forall(c => c.isDigit || c == '.' || c == '-')
-          s""""$k":${if (num) v else "\"" + v + "\""}"""
+          val vs = if (JsonNumber.matches(v)) v else Json.dumps(Json.JStr(v))
+          s"${Json.dumps(Json.JStr(k))}:$vs"
         }.mkString("{", ",", "}")
       }.mkString("[", ",", "]")
+      val bases = state.checkpointedTables.toSeq.sortBy(_._1)
+        .map { case (t, b) => s"${Json.dumps(Json.JStr(t))}:$b" }
+        .mkString("{", ",", "}")
+      s"""{"rounds":$rounds,"checkpoint_bases":$bases}"""
     }
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = reply(ex, 200, page, "text/html")

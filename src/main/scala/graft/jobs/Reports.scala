@@ -16,11 +16,25 @@ object Reports {
     * batch analog folds per-round mean latencies in round order — closed
     * form: ewma_n = 0.9^n·x_0 + Σ_{i=1..n} 0.1·0.9^(n-i)·x_i, computed with
     * window sums (one value per round per platform — tiny).
+    *
+    * Metrics arrive one row per (platform, host, round); they are first
+    * pre-aggregated to ONE row per (platform, round) — latency folded
+    * request-weighted — so the order-dependent EWMA never depends on a
+    * nondeterministic tie order between same-round rows (round-3 advice).
     */
   def platformHealth(metrics: DataFrame): DataFrame = {
+    val perRound = metrics.groupBy("platform", "round").agg(
+      sum("total_requests").as("total_requests"),
+      sum("success_requests").as("success_requests"),
+      sum("extraction_success").as("extraction_success"),
+      sum("extraction_failure").as("extraction_failure"),
+      when(sum("total_requests") > 0,
+        sum(col("avg_latency_ms") * col("total_requests")) / sum("total_requests"))
+        .otherwise(avg("avg_latency_ms")).as("avg_latency_ms"),
+      sum("invalid_jobs").as("invalid_jobs"))
     val w = Window.partitionBy("platform").orderBy("round")
     val wAll = Window.partitionBy("platform")
-    val withN = metrics
+    val withN = perRound
       .withColumn("_i", row_number().over(w) - 1)
       .withColumn("_n", max(col("_i")).over(wAll))
     val term = when(col("_i") === 0,

@@ -9,7 +9,11 @@ import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.file.Files
 
-/** The dashboard HTTP surface serves the same report queries as the CLI. */
+/** The dashboard HTTP surface serves the same report queries as the CLI,
+  * with the reference's /api/stats and /api/jobs endpoints
+  * (dashboard_server.py:32-99), per-round response caching, and ?asOf
+  * time travel.
+  */
 class DashboardSpec extends AnyFunSuite {
 
   private lazy val spark: SparkSession = SparkSession.builder()
@@ -25,7 +29,10 @@ class DashboardSpec extends AnyFunSuite {
     val pages = PagesGen.pages(spark, 600L).toDF()
     val seeds = PagesGen.seedUrls(spark, 600L).toDF()
     val policy = PagesGen.hostPolicy(spark).toDF()
-    CrawlRound.run(spark, pages, seeds, policy, new RoundState(spark, stateDir), 0, 60.0)
+    val state = new RoundState(spark, stateDir)
+    CrawlRound.run(spark, pages, seeds, policy, state, 0, 60.0)
+    CrawlRound.run(spark, pages, seeds, policy, state, 1, 60.0)
+    state.checkpointTable("metrics")
 
     val server = DashboardServer.start(spark, stateDir, 0)
     try {
@@ -43,10 +50,50 @@ class DashboardSpec extends AnyFunSuite {
       assert(health.items.nonEmpty)
       val first = health.items.head.asInstanceOf[Json.JObj]
       assert(first.has("platform") && first.has("total_requests"))
+      // the reference's lamp column (dashboard_server.py:70-80)
+      assert(first.get("status").collect { case Json.JStr(s) => s }
+        .exists(Set("green", "yellow", "red", "gray")))
       val counts = Json.parse(get("/api/counts")).asInstanceOf[Json.JObj]
       assert(counts.get("jobs").exists(Json.truthy) && counts.get("companies").exists(Json.truthy))
-      val rounds = Json.parse(get("/api/rounds")).asInstanceOf[Json.JArr]
-      assert(rounds.items.size == 1)
+
+      // /api/stats: system rollup (dashboard_server.py:32-60)
+      val stats = Json.parse(get("/api/stats")).asInstanceOf[Json.JObj]
+      val jobCount = stats.get("job_count").collect { case Json.JInt(v) => v.toLong }.get
+      assert(jobCount > 0)
+      assert(stats.get("company_count").collect { case Json.JInt(v) => v.toLong }.exists(_ > 0))
+      assert(stats.has("geo_coverage"))
+      val layers = stats.get("layers").get.asInstanceOf[Json.JObj]
+      assert(layers.entries.nonEmpty)
+
+      // /api/jobs: recency-ordered sample, bounded by limit
+      val jobs = Json.parse(get("/api/jobs?limit=7")).asInstanceOf[Json.JArr]
+      assert(jobs.items.size == 7)
+      val job0 = jobs.items.head.asInstanceOf[Json.JObj]
+      assert(job0.has("title") && job0.has("url") && job0.has("updated_round"))
+      // recency: every returned row is from the newest rounds first
+      val updRounds = jobs.items.map(_.asInstanceOf[Json.JObj]
+        .get("updated_round").collect { case Json.JInt(v) => v.toInt }.get)
+      assert(updRounds == updRounds.sorted.reverse)
+
+      // /api/rounds: manifests + checkpoint bases, real JSON
+      val rounds = Json.parse(get("/api/rounds")).asInstanceOf[Json.JObj]
+      assert(rounds.get("rounds").get.asInstanceOf[Json.JArr].items.size == 2)
+      val bases = rounds.get("checkpoint_bases").get.asInstanceOf[Json.JObj]
+      assert(bases.get("metrics").collect { case Json.JInt(v) => v.toInt }.contains(1))
+
+      // ?asOf=0 time travel: the round-0 view has fewer-or-equal jobs and
+      // only round-0 manifest data behind it
+      val statsAsOf = Json.parse(get("/api/stats?asOf=0")).asInstanceOf[Json.JObj]
+      val jobCount0 = statsAsOf.get("job_count").collect { case Json.JInt(v) => v.toLong }.get
+      assert(jobCount0 > 0 && jobCount0 <= jobCount)
+      val jobsAsOf = Json.parse(get("/api/jobs?limit=5&asOf=0")).asInstanceOf[Json.JArr]
+      assert(jobsAsOf.items.forall(_.asInstanceOf[Json.JObj]
+        .get("updated_round").collect { case Json.JInt(v) => v.toInt }.contains(0)))
+
+      // response caching: identical request at an unchanged state round is
+      // served byte-identically (and without recomputing — same cache hit)
+      assert(get("/api/stats") == get("/api/stats"))
+
       assert(Json.parse(get("/api/missing")).isInstanceOf[Json.JArr])
       assert(Json.parse(get("/api/alerts")).isInstanceOf[Json.JArr])
       assert(get("/").contains("dashboard"))
