@@ -257,7 +257,16 @@ object Queries {
     "d13_ann_lsh_prodparams" -> ((s, dir) => {
       val dim = 17
       val clusterSize = 30
-      val cl = floor(col("vec_id") / clusterSize)
+      // exactness needs every cluster to hold >= k+1 = 4 members, so a
+      // 1-3-member trailing cluster (row count % 30 in 1..3) folds into the
+      // previous one instead of needing cross-cluster neighbors the
+      // bucketed path can't guarantee (round-3 advice — silent fragility
+      // if the test data size changes)
+      val n = t(s, dir, "embeddings").count()
+      val tail = n % clusterSize
+      val lastCl = if (tail != 0 && tail <= 3) n / clusterSize - 1
+                   else (n - 1) / clusterSize
+      val cl = least(floor(col("vec_id") / clusterSize), lit(lastCl))
       val emb = transform(sequence(lit(0), lit(dim - 1)), j => {
         val sgn = when(pmod(xxhash64(concat_ws("_", cl.cast("string"),
           j.cast("string"))), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
@@ -303,6 +312,19 @@ object Queries {
       graft.ops.Multimodal.decodeMeta(
         graft.ops.Multimodal.asMedia(t(s, dir, "documents"))).toDF()
         .select("doc_id", "kind", "n_bytes", "header_hex")
+        .orderBy("doc_id")
+    }),
+
+    // REAL image decode (javax.imageio, round-3 verdict ask #6): synthetic
+    // valid PNGs are generated on the executors, their raw bytes dumped as
+    // hex, and the decoded dimensions oracled by DuckDB BYTE ARITHMETIC —
+    // width/height parsed straight out of the IHDR chunk (bytes 17-24,
+    // big-endian) of the dumped hex, fully independent of the JDK codec.
+    "m2_image_decode" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.syntheticPng(t(s, dir, "documents"))
+      OracleAux.dump(media.select(col("doc_id"), hex(col("media")).as("h")), "m2_png")
+      graft.ops.Multimodal.decodeMeta(media, graft.ops.Multimodal.ImageIoDecoder).toDF()
+        .select("doc_id", "kind", "n_bytes", "width", "height")
         .orderBy("doc_id")
     }),
 
@@ -603,6 +625,24 @@ object Queries {
         |  octet_length(CAST(text AS BLOB)) AS n_bytes,
         |  substr(lower(hex(CAST(text AS BLOB))), 1, 8) AS header_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // PNG dimensions by byte arithmetic over the dumped raw hex: the IHDR
+    // width/height live at bytes 17-20 / 21-24 (big-endian) = hex chars
+    // 33-40 / 41-48; each 8-hex-char group folds positionally to an int.
+    "m2_image_decode" ->
+      s"""WITH p AS (SELECT doc_id, h FROM ${OracleAux.rp("m2_png")}),
+         |v AS (SELECT doc_id,
+         |  CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+         |       THEN 'image/png' ELSE 'other' END AS kind,
+         |  CAST(length(h) / 2 AS BIGINT) AS n_bytes,
+         |  CAST(list_sum(list_transform(range(0, 8), i ->
+         |    (strpos('0123456789ABCDEF', substr(h, 33 + i, 1)) - 1)
+         |      * 16 ** (7 - i))) AS INT) AS width,
+         |  CAST(list_sum(list_transform(range(0, 8), i ->
+         |    (strpos('0123456789ABCDEF', substr(h, 41 + i, 1)) - 1)
+         |      * 16 ** (7 - i))) AS INT) AS height
+         |FROM p)
+         |SELECT * FROM v ORDER BY doc_id""".stripMargin,
 
     // Crawl schedule: DuckDB independently recomputes the per-round per-host
     // priority ranking from the dumped rank inputs — MUST reproduce the

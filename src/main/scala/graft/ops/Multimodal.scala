@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata; decode / feature-extract run as typed
   * mapPartitions stages (the JVM analog of `mapInPandas` batch UDFs).
   *
-  * The actual codec is STUBBED — image/audio libraries are not in this
-  * container — behind [[MediaDecoder]]; [[StubDecoder]] produces
-  * deterministic fake features so the Spark-side plumbing (schema, batch
-  * iteration, partitioning, downstream joins) is real and tested. Swap in a
-  * real decoder (JNI/javacpp ffmpeg, ImageIO) without touching the plan.
+  * PNG and JPEG decode is REAL — [[ImageIoDecoder]] runs `javax.imageio`
+  * (ships with the JDK, no external codec libs) on the executors for true
+  * dimensions and a pixel-derived feature vector. Other media kinds
+  * (audio/video — their codecs are not in this container) fall back to
+  * [[StubDecoder]], which produces deterministic fake features so the
+  * Spark-side plumbing (schema, batch iteration, partitioning, downstream
+  * joins) stays real and tested; swap in a real decoder (JNI/javacpp
+  * ffmpeg) without touching the plan.
   */
 object Multimodal {
 
@@ -52,10 +55,74 @@ object Multimodal {
     }
   }
 
+  /** Real image decode via the JDK's `javax.imageio` (PNG + JPEG): true
+    * width/height from the codec and an 8-bin luminance histogram feature.
+    * Non-image payloads (and undecodable bytes) fall back to [[StubDecoder]]
+    * so mixed media tables decode in one pass.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    private def isPng(b: Array[Byte]): Boolean =
+      b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    private def isJpeg(b: Array[Byte]): Boolean =
+      b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
+    override def decode(row: MediaRow): MediaMeta = {
+      val bytes = row.media
+      if (!isPng(bytes) && !isJpeg(bytes)) return StubDecoder.decode(row)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return StubDecoder.decode(row) // truncated/corrupt
+      val (w, h) = (img.getWidth, img.getHeight)
+      // 8-bin luminance histogram, strided so huge frames stay O(1k) samples
+      val counts = new Array[Long](8)
+      val stride = math.max(1, (w.toLong * h / 1024).toInt)
+      var idx = 0
+      var sampled = 0L
+      while (idx < w * h) {
+        val rgb = img.getRGB(idx % w, idx / w)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        counts(lum >> 5) += 1
+        sampled += 1
+        idx += stride
+      }
+      val feat = counts.map(c => c.toFloat / sampled).toSeq
+      val header = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
+      val kind = if (isPng(bytes)) "image/png" else "image/jpeg"
+      MediaMeta(row.doc_id, kind, bytes.length.toLong, header, w, h, feat)
+    }
+  }
+
   /** Wrap a text table as a media table (synthetic payloads: utf-8 bytes). */
   def asMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), encode(col("text"), "utf-8").as("media"),
       lit("image/fake").as("kind"))
+
+  /** Synthetic REAL PNG payloads, one per doc_id: deterministic dimensions
+    * (16+id%48 × 16+(id/7)%40) and a deterministic diagonal-stripe fill,
+    * encoded with the JDK PNG writer on the executors. Gives decoder tests
+    * and the m2 oracle true image bytes with no external fixtures.
+    */
+  def syntheticPng(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no executor temp files
+      it.map { id =>
+        val w = 16 + (id % 48).toInt
+        val h = 16 + ((id / 7) % 40).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, ((x + id) % h).toInt, 0xff0000 | (id & 0xff).toInt)
+          x += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "media").withColumn("kind", lit("image/png"))
+  }
 
   /** The decode stage: typed mapPartitions over binary batches. */
   def decodeMeta(media: DataFrame, decoder: MediaDecoder = StubDecoder): Dataset[MediaMeta] = {

@@ -38,6 +38,14 @@ object StreamingExtract {
       // event-time column is IN the keys — with canon_url alone the store
       // would grow without bound; the WithinWatermark variant keeps the dedup
       // key set while evicting rows older than the watermark.
+      // SINK CONTRACT: dedup is therefore bounded-window, not forever — a
+      // URL re-arriving later than the watermark gap is re-emitted and
+      // re-extracted, so downstream sees at-least-once per canon_url across
+      // far-apart batches. That is exactly the upsert shape the batch layer
+      // already absorbs: rows land as round deltas and MERGE-at-read
+      // compaction (Compaction.currentJobs) folds re-emissions to the
+      // latest row, IFNULL-guarded. Consumers reading the raw stream (not
+      // the compacted view) must dedupe themselves or widen the watermark.
       .dropDuplicatesWithinWatermark("canon_url")
     ExtractJob.extractPages(
       deduped.withColumn("host", graft.frontier.Canon.host(col("url")))).toDF()

@@ -223,6 +223,31 @@ class OpsSpec extends AnyFunSuite {
     assert(deduped.filter(col("n_copies") =!= 2).isEmpty)
   }
 
+  test("imageio decoder: real PNG/JPEG dimensions; non-images fall back to the stub") {
+    val media = Multimodal.syntheticPng(docs.limit(40))
+    val meta = Multimodal.decodeMeta(media, Multimodal.ImageIoDecoder).toDF().cache()
+    // decoded dimensions equal the generator's formula — real codec round-trip
+    assert(meta.filter(col("width") =!= lit(16) + pmod(col("doc_id"), lit(48)) ||
+      col("height") =!= lit(16) + pmod(floor(col("doc_id") / 7), lit(40))).isEmpty)
+    assert(meta.filter(col("kind") =!= "image/png").isEmpty)
+    // features are normalized luminance histograms (sum ~ 1)
+    val sums = meta.select(col("feature")).collect()
+      .map(_.getSeq[Float](0)).map(f => { assert(f.size == 8); f.sum })
+    assert(sums.forall(s => math.abs(s - 1.0f) < 1e-3))
+    meta.unpersist()
+    // jpeg decodes through the same decoder
+    val img = new java.awt.image.BufferedImage(23, 17,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jm = Multimodal.ImageIoDecoder.decode(
+      Multimodal.MediaRow(1L, bos.toByteArray, "image/jpeg"))
+    assert(jm.width == 23 && jm.height == 17 && jm.kind == "image/jpeg")
+    // non-image bytes fall back byte-for-byte to the stub
+    val raw = Multimodal.MediaRow(2L, "not an image".getBytes, "image/fake")
+    assert(Multimodal.ImageIoDecoder.decode(raw) == Multimodal.StubDecoder.decode(raw))
+  }
+
   test("multimodal stub: schema, determinism, and byte metadata") {
     val meta = Multimodal.decodeMeta(Multimodal.asMedia(docs)).toDF().cache()
     assert(meta.count() == docs.count())
