@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   * Verify; production state/outputs (seen, sharded filters, 5 output tables,
   * quarantine, metrics, discovered) are all still written and timed.
   *
-  * `queries` times the FULL 27-query verified surface on SPARK_GRAFT_SF_DIR
+  * `queries` times the FULL 31-query verified surface on SPARK_GRAFT_SF_DIR
   * (round-2 verdict ask: the pair generators d6-d12 are now sub-quadratic
   * at scale, so timing them at sf0.1 measures the engine, not a blow-up).
   *
@@ -30,7 +30,8 @@ object Bench {
     "d5_langid", "d6_ngram_jaccard", "d7_minhash_lsh", "d8_simhash",
     "d9_ann_brute_topk", "d10_ann_lsh", "d11_embed_neardup", "d12_edit_distance",
     "d13_ann_lsh_prodparams", "d14_winnow_fp",
-    "m1_media_meta", "g1_geo_clean", "a1_health_ewma", "s5_merge_compact",
+    "m1_media_meta", "m2_image_decode", "g1_geo_clean", "a1_health_ewma",
+    "s5_merge_compact",
     "crawl_extract_jobs", "crawl_rounds")
 
   def main(args: Array[String]): Unit = {
