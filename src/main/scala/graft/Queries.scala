@@ -328,6 +328,20 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // REAL audio decode (javax.sound.sampled): synthetic valid WAVs are
+    // generated on the executors, their raw bytes dumped as hex, and the
+    // decoded sample rate / channels / frame count oracled by DuckDB BYTE
+    // ARITHMETIC over the RIFF header (canonical JDK 44-byte layout:
+    // channels LE16 at bytes 23-24, sample rate LE32 at 25-28, data-chunk
+    // size LE32 at 41-44) — fully independent of the JDK codec.
+    "m3_audio_decode" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.syntheticWav(t(s, dir, "documents"))
+      OracleAux.dump(media.select(col("doc_id"), hex(col("media")).as("h")), "m3_wav")
+      graft.ops.Multimodal.decodeAudioMeta(media).toDF()
+        .select("doc_id", "kind", "n_bytes", "sample_rate", "channels", "n_frames")
+        .orderBy("doc_id")
+    }),
+
     // X24/J7 geocode address cleaner: deterministic synthetic Taiwan
     // addresses (fullwidth digits, Taiwan prefixes, duplicated cities,
     // floor/suite noise, multi-address splits) are dumped to aux and DuckDB
@@ -643,6 +657,33 @@ object Queries {
          |      * 16 ** (7 - i))) AS INT) AS height
          |FROM p)
          |SELECT * FROM v ORDER BY doc_id""".stripMargin,
+
+    // WAV header fields by little-endian byte arithmetic over the dumped
+    // hex: byte k (1-based) lives at hex chars 2k-1..2k; an LE field is
+    // Σ byteval(k+j)·256^j.
+    "m3_audio_decode" ->
+      s"""WITH p AS (SELECT doc_id, h FROM ${OracleAux.rp("m3_wav")}),
+         |v AS (SELECT doc_id,
+         |  CASE WHEN substr(h, 1, 8) = '52494646'
+         |        AND substr(h, 17, 8) = '57415645'
+         |       THEN 'audio/wav' ELSE 'other' END AS kind,
+         |  CAST(length(h) / 2 AS BIGINT) AS n_bytes,
+         |  CAST(list_sum(list_transform(range(0, 4), j ->
+         |    ((strpos('0123456789ABCDEF', substr(h, 49 + 2*j, 1)) - 1) * 16
+         |     + strpos('0123456789ABCDEF', substr(h, 50 + 2*j, 1)) - 1)
+         |      * 256 ** j)) AS INT) AS sample_rate,
+         |  CAST(list_sum(list_transform(range(0, 2), j ->
+         |    ((strpos('0123456789ABCDEF', substr(h, 45 + 2*j, 1)) - 1) * 16
+         |     + strpos('0123456789ABCDEF', substr(h, 46 + 2*j, 1)) - 1)
+         |      * 256 ** j)) AS INT) AS channels,
+         |  CAST(list_sum(list_transform(range(0, 4), j ->
+         |    ((strpos('0123456789ABCDEF', substr(h, 81 + 2*j, 1)) - 1) * 16
+         |     + strpos('0123456789ABCDEF', substr(h, 82 + 2*j, 1)) - 1)
+         |      * 256 ** j)) AS BIGINT) AS data_size
+         |FROM p)
+         |SELECT doc_id, kind, n_bytes, sample_rate, channels,
+         |  CAST(data_size // (channels * 2) AS BIGINT) AS n_frames
+         |FROM v ORDER BY doc_id""".stripMargin,
 
     // Crawl schedule: DuckDB independently recomputes the per-round per-host
     // priority ranking from the dumped rank inputs — MUST reproduce the

@@ -92,6 +92,70 @@ object Multimodal {
     }
   }
 
+  final case class AudioMeta(
+      doc_id: Long,
+      kind: String,
+      n_bytes: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long)
+
+  /** Real WAV decode via the JDK's `javax.sound.sampled` (no external
+    * libs): container-level sample rate / channels / frame count. Non-WAV
+    * payloads (video and exotic audio — their codecs are not in this
+    * container) report -1s, keeping the one-pass mixed-table shape.
+    */
+  def decodeAudioMeta(media: DataFrame): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media", "kind").as[MediaRow]
+      .mapPartitions(_.map { row =>
+        val b = row.media
+        val isWav = b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+        if (!isWav) AudioMeta(row.doc_id, row.kind, b.length.toLong, -1, -1, -1L)
+        else {
+          val fmt = javax.sound.sampled.AudioSystem
+            .getAudioFileFormat(new java.io.ByteArrayInputStream(b))
+          AudioMeta(row.doc_id, "audio/wav", b.length.toLong,
+            fmt.getFormat.getSampleRate.toInt, fmt.getFormat.getChannels,
+            fmt.getFrameLength.toLong)
+        }
+      })
+  }
+
+  /** Synthetic REAL WAV payloads, one per doc_id: deterministic sample rate
+    * ({8000, 16000, 22050, 44100}), channels (1-2), frame count and 16-bit
+    * PCM samples, encoded with the JDK WAVE writer on the executors — true
+    * audio bytes for decoder tests and the m3 oracle, no external fixtures.
+    */
+  def syntheticWav(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val rates = Array(8000, 16000, 22050, 44100)
+      val rate = rates((id % 4).toInt)
+      val channels = 1 + (id % 2).toInt
+      val frames = 200 + (id % 800).toInt
+      val pcm = new Array[Byte](frames * channels * 2)
+      var i = 0
+      while (i < frames * channels) {
+        val v = (((id * 31 + i * 7) % 65536) - 32768).toShort
+        pcm(2 * i) = (v & 0xff).toByte        // little-endian per WAV PCM
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels,
+        true, false)
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(stream,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      (id, bos.toByteArray)
+    }).toDF("doc_id", "media").withColumn("kind", lit("audio/wav"))
+  }
+
   /** Wrap a text table as a media table (synthetic payloads: utf-8 bytes). */
   def asMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), encode(col("text"), "utf-8").as("media"),

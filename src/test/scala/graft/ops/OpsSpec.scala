@@ -248,6 +248,23 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.ImageIoDecoder.decode(raw) == Multimodal.StubDecoder.decode(raw))
   }
 
+  test("wav decoder: real sample rate/channels/frames; non-audio reports -1s") {
+    val media = Multimodal.syntheticWav(docs.limit(40))
+    val meta = Multimodal.decodeAudioMeta(media).toDF().cache()
+    // decoded container fields equal the generator's formulas — codec round-trip
+    val rates = array(Seq(8000, 16000, 22050, 44100).map(lit): _*)
+    assert(meta.filter(
+      col("sample_rate") =!= element_at(rates, (pmod(col("doc_id"), lit(4)) + 1).cast("int")) ||
+      col("channels") =!= lit(1) + pmod(col("doc_id"), lit(2)) ||
+      col("n_frames") =!= lit(200) + pmod(col("doc_id"), lit(800))).isEmpty)
+    assert(meta.filter(col("kind") =!= "audio/wav").isEmpty)
+    meta.unpersist()
+    // non-WAV payloads flow through the same pass with -1 sentinels
+    val mixed = Multimodal.asMedia(docs.limit(5))
+    val other = Multimodal.decodeAudioMeta(mixed).toDF()
+    assert(other.filter(col("sample_rate") =!= -1 || col("n_frames") =!= -1).isEmpty)
+  }
+
   test("multimodal stub: schema, determinism, and byte metadata") {
     val meta = Multimodal.decodeMeta(Multimodal.asMedia(docs)).toDF().cache()
     assert(meta.count() == docs.count())
