@@ -228,6 +228,21 @@ object Queries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // The PRODUCTION simhash radius (maxDist=3 → 4×16-bit combination-key
+    // blocking, the round-3 verdict's scale fix) under the same independent
+    // all-pairs-hamming oracle as d8 — so the 16-bit-key path is
+    // oracle-certified, not just spec-covered (the d13 pattern).
+    "d15_simhash_prod" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mutated = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        array_join(slice(split(col("text"), " "), lit(1),
+          greatest(size(split(col("text"), " ")) - 1, lit(1))), " ").as("text"))
+      val uni = docs.select("doc_id", "text").unionByName(mutated)
+      OracleAux.dump(graft.ops.TextOps.withSimhash(uni), "d15_simhashes")
+      graft.ops.TextOps.simhashPairs(uni, maxDist = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "d9_ann_brute_topk" -> ((s, dir) => {
       graft.ops.VectorOps.bruteForceTopK(t(s, dir, "embeddings"), 3)
         .orderBy("query_id", "rank")
@@ -862,6 +877,16 @@ object Queries {
          |  bit_count(xor(a.simhash, b.simhash)) AS hamming
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same all-pairs hamming recomputation at the PRODUCTION radius: a
+    // MATCH certifies the 4×16-bit combination-key blocking lost nothing.
+    "d15_simhash_prod" ->
+      s"""WITH s AS (SELECT doc_id, simhash FROM ${OracleAux.rp("d15_simhashes")})
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Brute-force top-3 over the dumped planted-cluster vectors: a MATCH
