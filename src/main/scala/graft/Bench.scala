@@ -52,6 +52,10 @@ object Bench {
 
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
+      // isolate queries from each other's heap pressure: the heavy pair
+      // generators leave tens of GB garbage; without a collect here the
+      // NEXT query pays the GC debt (observed 4x swings on d10)
+      System.gc()
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
