@@ -23,6 +23,33 @@ object Queries {
   // Round to kill float last-ulp drift between Spark and DuckDB summation order.
   private def r2(c: Column): Column = round(c, 2)
 
+  /** Deterministic planted-cluster embedding corpus over the `embeddings`
+    * table's vec_ids (the d13/d16 oracle device): clusters of 30 share a
+    * ±1^17-basis vector (dim 17 is ODD, so every sign-LSH plane's base sum
+    * is a nonzero integer — sign bits are cluster-stable against the ±0.01
+    * per-member noise). Exactness needs every cluster to hold >= k+1 = 4
+    * members, so a 1-3-member trailing cluster (row count % 30 in 1..3)
+    * folds into the previous one (round-3 advice — silent fragility if the
+    * test data size changes). Returns (vectors, last cluster index).
+    */
+  private def plantedClusterVectors(s: SparkSession, dir: String): (DataFrame, Long) = {
+    val dim = 17
+    val clusterSize = 30
+    val n = t(s, dir, "embeddings").count()
+    val tail = n % clusterSize
+    val lastCl = if (tail != 0 && tail <= 3) n / clusterSize - 1
+                 else (n - 1) / clusterSize
+    val cl = least(floor(col("vec_id") / clusterSize), lit(lastCl))
+    val emb = transform(sequence(lit(0), lit(dim - 1)), j => {
+      val sgn = when(pmod(xxhash64(concat_ws("_", cl.cast("string"),
+        j.cast("string"))), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+      val noise = (pmod(xxhash64(concat_ws("~", col("vec_id").cast("string"),
+        j.cast("string"))), lit(1000)).cast("double") / 1000.0 - 0.5) * 0.02
+      (sgn + noise).cast("float")
+    })
+    (t(s, dir, "embeddings").select(col("vec_id"), emb.as("embedding")), lastCl)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- Aggregation (SURVEY §2.5 A1-A7 analogs) ---
     "q1_agg" -> ((s, dir) => {
@@ -270,29 +297,32 @@ object Queries {
     // are cluster-stable in EVERY table, each cluster shares buckets, and
     // the bucketed top-3 provably equals the brute-force oracle.
     "d13_ann_lsh_prodparams" -> ((s, dir) => {
-      val dim = 17
-      val clusterSize = 30
-      // exactness needs every cluster to hold >= k+1 = 4 members, so a
-      // 1-3-member trailing cluster (row count % 30 in 1..3) folds into the
-      // previous one instead of needing cross-cluster neighbors the
-      // bucketed path can't guarantee (round-3 advice — silent fragility
-      // if the test data size changes)
-      val n = t(s, dir, "embeddings").count()
-      val tail = n % clusterSize
-      val lastCl = if (tail != 0 && tail <= 3) n / clusterSize - 1
-                   else (n - 1) / clusterSize
-      val cl = least(floor(col("vec_id") / clusterSize), lit(lastCl))
-      val emb = transform(sequence(lit(0), lit(dim - 1)), j => {
-        val sgn = when(pmod(xxhash64(concat_ws("_", cl.cast("string"),
-          j.cast("string"))), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
-        val noise = (pmod(xxhash64(concat_ws("~", col("vec_id").cast("string"),
-          j.cast("string"))), lit(1000)).cast("double") / 1000.0 - 0.5) * 0.02
-        (sgn + noise).cast("float")
-      })
-      val vecs = t(s, dir, "embeddings").select(col("vec_id"), emb.as("embedding"))
+      val (vecs, _) = plantedClusterVectors(s, dir)
       OracleAux.dump(vecs.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding")), "d13_vectors")
       graft.ops.VectorOps.lshTopK(vecs, 3, nPlanes = 4, nTables = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF (inverted-file) ANN — the coarse-quantizer scale path alongside
+    // sign-LSH: centroids via every-30th-vector stride init (one centroid
+    // per planted cluster BY CONSTRUCTION: the corpus is id-ordered, so
+    // stride = clusterSize samples each cluster exactly once), 0 Lloyd
+    // iterations (centroids are real member vectors — own-cluster cos ≈ 1
+    // vs ≤ ~0.7 cross-cluster, so nprobe=1 assignment is noise-stable) →
+    // every cluster searches exactly its own cell and the top-3 provably
+    // equals the brute-force oracle. The production path (hash-ranked
+    // init + Lloyd iterations + multi-probe) is OpsSpec-covered.
+    "d16_ann_ivf" -> ((s, dir) => {
+      val (vecs, lastCl) = plantedClusterVectors(s, dir)
+      OracleAux.dump(vecs.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding")), "d16_vectors")
+      // vec_id <= 30·lastCl keeps the stride off a folded tail: exactly one
+      // centroid per surviving cluster
+      val centroids = graft.ops.VectorOps.ivfTrain(
+        vecs.filter(col("vec_id") <= lit(lastCl * 30)),
+        nlist = 0, iters = 0, initStride = Some(30))
+      graft.ops.VectorOps.ivfTopK(vecs, 3, nprobe = 1, centroids = Some(centroids))
         .orderBy("query_id", "rank")
     }),
 
@@ -900,6 +930,22 @@ object Queries {
          |       * sqrt(list_inner_product(b.embedding, b.embedding))), 4) AS cos
          |  FROM ${OracleAux.rp("d13_vectors")} a
          |  JOIN ${OracleAux.rp("d13_vectors")} b ON a.vec_id <> b.vec_id)
+         |SELECT query_id, neighbor_id, cos, rank FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM pairs) WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Brute-force top-3 over the dumped planted-cluster vectors: a MATCH
+    // certifies the IVF cell-probed path returned the exact top-k.
+    "d16_ann_ivf" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    round(list_inner_product(a.embedding, b.embedding)
+         |      / (sqrt(list_inner_product(a.embedding, a.embedding))
+         |       * sqrt(list_inner_product(b.embedding, b.embedding))), 4) AS cos
+         |  FROM ${OracleAux.rp("d16_vectors")} a
+         |  JOIN ${OracleAux.rp("d16_vectors")} b ON a.vec_id <> b.vec_id)
          |SELECT query_id, neighbor_id, cos, rank FROM (
          |  SELECT query_id, neighbor_id, cos,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank

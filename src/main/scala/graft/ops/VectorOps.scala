@@ -107,6 +107,104 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** IVF coarse quantizer: `nlist` centroids trained with `iters` Lloyd
+    * iterations, entirely as DataFrame ops. Deterministic hash-ranked init
+    * (the `nlist` vectors with the smallest xxhash64(vec_id) — a seedless
+    * uniform sample); each iteration assigns by max-cosine and recomputes
+    * element-wise member means via posexplode + avg (order-insensitive,
+    * so the result is parallelism-independent). Returns (cell, centroid).
+    *
+    * `initStride` overrides the init with every-`stride`-th vector
+    * (vec_id % stride == 0) — the oracle hook: on an id-ordered planted
+    * corpus a stride equal to the cluster size guarantees one centroid per
+    * cluster, making nprobe=1 search provably exact (see d16).
+    */
+  def ivfTrain(embeddings: DataFrame, nlist: Int, iters: Int = 2,
+               initStride: Option[Int] = None): DataFrame = {
+    val base = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("centroid"))
+    var centroids = initStride match {
+      case Some(s) =>
+        base.filter(pmod(col("vec_id"), lit(s)) === 0)
+          .select((col("vec_id") / s).cast("int").as("cell"), col("centroid"))
+      case None =>
+        // sorted limit plans as TakeOrderedAndProject (distributed); the
+        // numbering window then runs over nlist rows only, never the corpus
+        val sample = base.withColumn("_h", xxhash64(col("vec_id").cast("string")))
+          .orderBy(col("_h"), col("vec_id")).limit(nlist)
+        val w = Window.orderBy(col("_h"), col("vec_id"))
+        sample.withColumn("cell", row_number().over(w) - 1)
+          .select(col("cell"), col("centroid"))
+    }
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(embeddings, centroids, 1)
+        .join(embeddings, Seq("vec_id"))
+      // element-wise member mean per cell: explode to (cell, dim, x), avg,
+      // re-assemble ordered by dim (sort_array on (dim, mean) structs keeps
+      // the rebuild deterministic under any row order)
+      centroids = assigned
+        .select(col("cell"), posexplode(toDouble(col("embedding"))).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"), transform(col("dm"), e => e.getField("m")).as("centroid"))
+    }
+    centroids
+  }
+
+  /** The `nprobe` max-cosine cells per vector: broadcast the (small)
+    * centroid table, rank per vector. nprobe=1 is the build-side
+    * assignment; queries probe more cells to hedge boundary effects.
+    */
+  def ivfAssign(embeddings: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val scored = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_cos", dot(col("v"), col("centroid")) / (norm(col("v")) * norm(col("centroid"))))
+    if (nprobe == 1)
+      // the n-scale build-side assignment: map-side-combinable max_by
+      // (ties broken to the smallest cell), no window sort over the corpus
+      scored.groupBy("vec_id")
+        .agg(max_by(col("cell"), struct(col("_cos"), -col("cell"))).as("cell"))
+    else {
+      val w = Window.partitionBy("vec_id").orderBy(col("_cos").desc, col("cell").asc)
+      scored.withColumn("_r", row_number().over(w)).filter(col("_r") <= nprobe)
+        .select("vec_id", "cell")
+    }
+  }
+
+  /** IVF-bucketed approximate top-k — the inverted-file scale path
+    * alongside [[lshTopK]]: train a coarse quantizer, assign every vector
+    * to its max-cosine cell, then search each query's `nprobe` nearest
+    * cells with exact cosine. Shuffle ∝ cell sizes (n·nprobe/nlist per
+    * query on average), never n²; the centroid table is broadcast-sized by
+    * construction. Pass a pre-trained `centroids` frame to share one
+    * quantizer across queries (and for the d16 oracle's stride init).
+    */
+  def ivfTopK(embeddings: DataFrame, k: Int = 3, nlist: Int = 16,
+              nprobe: Int = 4, iters: Int = 2,
+              centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfTrain(embeddings, nlist, iters))
+    val members = ivfAssign(embeddings, cents, 1)
+    val probes = ivfAssign(embeddings, cents, nprobe)
+      .withColumnRenamed("vec_id", "query_id")
+    val va = embeddings.select(col("vec_id").as("query_id"),
+      toDouble(col("embedding")).as("va")).withColumn("na", norm(col("va")))
+    val vb = embeddings.select(col("vec_id").as("neighbor_id"),
+      toDouble(col("embedding")).as("vb")).withColumn("nb", norm(col("vb")))
+    // id-only candidates within probed cells; vectors re-attach post-dedup
+    val pairs = probes
+      .join(members.withColumnRenamed("vec_id", "neighbor_id"), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+      .join(va, Seq("query_id")).join(vb, Seq("neighbor_id"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** Exact all-pairs embedding-cosine near-dup (BroadcastNestedLoopJoin):
     * correct-by-construction, O(n²) — the oracle path for small inputs only.
     */

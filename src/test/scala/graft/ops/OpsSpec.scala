@@ -132,6 +132,34 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.999, s"recall@3 = $recall") // exactness params (d10 oracle)
   }
 
+  test("ivf ANN: production path recovers planted clusters; stride init is exact") {
+    // planted clusters of near-identical ±1^17 vectors (the d13/d16 device)
+    val dim = 17
+    val cs = 10
+    val vecs = spark.range(120).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j => {
+        val cl = floor(col("id") / cs)
+        val sgn = when(pmod(xxhash64(concat_ws("_", cl.cast("string"),
+          j.cast("string"))), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+        val noise = (pmod(xxhash64(concat_ws("~", col("id").cast("string"),
+          j.cast("string"))), lit(1000)).cast("double") / 1000.0 - 0.5) * 0.02
+        (sgn + noise).cast("float")
+      }).as("embedding"))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = ids(VectorOps.bruteForceTopK(vecs, 3))
+    // production path: hash-ranked init, Lloyd iterations, multi-probe
+    val ivf = ids(VectorOps.ivfTopK(vecs, 3, nlist = 12, nprobe = 4, iters = 2))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.95, s"ivf recall@3 = $recall")
+    // d16's stride-init, nprobe=1 configuration is EXACT on this corpus
+    val centroids = VectorOps.ivfTrain(vecs, nlist = 0, iters = 0, initStride = Some(cs))
+    assert(centroids.count() == 12)
+    val exact = ids(VectorOps.ivfTopK(vecs, 3, nprobe = 1, centroids = Some(centroids)))
+    assert(exact == brute, s"missing=${(brute -- exact).take(5)}")
+  }
+
   test("native SimHash64 expression is bit-for-bit equal to the declarative HOF formulation") {
     val corpus = withMutations(docs, 2)
     val native = TextOps.withSimhash(corpus)
