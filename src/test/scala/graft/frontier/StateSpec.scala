@@ -123,6 +123,29 @@ class StateSpec extends AnyFunSuite {
       .sameElements(before))
   }
 
+  test("crash between base write and pointer flip leaves readers intact") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp()
+    val state = new RoundState(spark, dir)
+    state.writeDelta("t", 0, Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    state.commit(0, Map("round" -> 0))
+    val before = state.readCommitted("t").get.collect().map(_.toString).sorted
+    state.checkpointTable("t")
+    // simulate the crash: the base landed but the pointer write never did
+    val ptrDir = Paths.get(dir, "_checkpoints", "t")
+    Files.list(ptrDir).iterator().forEachRemaining(p => Files.delete(p))
+    // readers fall back to the raw deltas (still on disk until vacuum)
+    assert(state.checkpointedBase("t").isEmpty)
+    assert(state.readCommitted("t").get.collect().map(_.toString).sorted
+      .sameElements(before))
+    // a re-checkpoint heals: fresh attempt dir, pointer lands, reads equal
+    state.checkpointTable("t")
+    assert(state.checkpointedBase("t").contains(0))
+    assert(state.readCommitted("t").get.collect().map(_.toString).sorted
+      .sameElements(before))
+  }
+
   test("vacuum removes covered deltas; readers unchanged") {
     val dir = tmp()
     val state = runAll(dir)

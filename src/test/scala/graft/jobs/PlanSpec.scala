@@ -130,6 +130,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("blk_key") && !plan.contains("chunk_val"), plan.take(2000))
   }
 
+  test("ivf search joins candidates on cell equi-keys; only centroid scoring broadcasts") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = planOf(graft.ops.VectorOps.ivfTopK(emb, 3, nlist = 8, nprobe = 2, iters = 0))
+    // the n-scale candidate join must be a cell equi-join (hash/sort-merge);
+    // the ONLY nested-loop allowed is the broadcast centroid cross join,
+    // whose build side is the nlist-row centroid table
+    assert(plan.contains("cell"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    val nlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    val eqj = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(eqj >= 1, s"no equi-join in plan:\n${plan.take(2000)}")
+    assert(nlj <= 2, s"unexpected nested-loop joins ($nlj):\n${plan.take(2000)}")
+  }
+
   test("d12 scale path joins on exact segment strings (PassJoin), never source alone") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(graft.ops.TextOps.editDistancePairsSegmented(docs, 10, 30))
