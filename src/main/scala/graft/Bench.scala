@@ -30,8 +30,8 @@ object Bench {
     "d5_langid", "d6_ngram_jaccard", "d7_minhash_lsh", "d8_simhash",
     "d9_ann_brute_topk", "d10_ann_lsh", "d11_embed_neardup", "d12_edit_distance",
     "d13_ann_lsh_prodparams", "d14_winnow_fp", "d15_simhash_prod", "d16_ann_ivf",
-    "m1_media_meta", "m2_image_decode", "m3_audio_decode", "g1_geo_clean",
-    "a1_health_ewma", "s5_merge_compact",
+    "m1_media_meta", "m2_image_decode", "m3_audio_decode", "m4_image_resize",
+    "m5_frame_sample", "g1_geo_clean", "a1_health_ewma", "s5_merge_compact",
     "crawl_extract_jobs", "crawl_rounds")
 
   def main(args: Array[String]): Unit = {

@@ -373,6 +373,42 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // REAL image resize round-trip: originals decode → aspect-preserving
+    // integer-exact downscale into a 32×32 box → PNG re-encode → decode
+    // again. DuckDB recomputes the ORIGINAL dims from the dumped IHDR bytes
+    // and applies the same integer formula, so a MATCH certifies the whole
+    // codec round trip produced exactly the computed geometry.
+    "m4_image_resize" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.syntheticPng(t(s, dir, "documents"))
+      OracleAux.dump(media.select(col("doc_id"), hex(col("media")).as("h")), "m4_png")
+      val dec = graft.ops.Multimodal.ImageIoDecoder
+      val orig = graft.ops.Multimodal.decodeMeta(media, dec).toDF()
+        .select(col("doc_id"), col("width").as("orig_w"), col("height").as("orig_h"))
+      val after = graft.ops.Multimodal.decodeMeta(
+          graft.ops.Multimodal.resizeImages(media, 32, 32), dec).toDF()
+        .select(col("doc_id"), col("width").as("new_w"), col("height").as("new_h"))
+      orig.join(after, Seq("doc_id")).orderBy("doc_id")
+    }),
+
+    // Frame sampling over the FPK1 length-prefixed frame container (the
+    // video-pipeline analog): every 2nd frame explodes to a row and
+    // decodes via the real codec. DuckDB parses frame count and the first
+    // frame's IHDR dims from the dumped container header (all frames of a
+    // doc share dims by construction) and regenerates the expected sampled
+    // index set arithmetically.
+    "m5_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val packs = graft.ops.Multimodal.syntheticFramepack(t(s, dir, "documents"))
+      OracleAux.dump(packs.select(col("doc_id"),
+        hex(substring(col("media"), 1, 40)).as("h")), "m5_fpk")
+      graft.ops.Multimodal.sampleFrames(packs, 2).map { fr =>
+        val m = graft.ops.Multimodal.ImageIoDecoder.decode(
+          graft.ops.Multimodal.MediaRow(fr.doc_id, fr.frame, "image/png"))
+        (fr.doc_id, fr.frame_idx, m.width, m.height)
+      }.toDF("doc_id", "frame_idx", "frame_w", "frame_h")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // REAL audio decode (javax.sound.sampled): synthetic valid WAVs are
     // generated on the executors, their raw bytes dumped as hex, and the
     // decoded sample rate / channels / frame count oracled by DuckDB BYTE
@@ -702,6 +738,51 @@ object Queries {
          |      * 16 ** (7 - i))) AS INT) AS height
          |FROM p)
          |SELECT * FROM v ORDER BY doc_id""".stripMargin,
+
+    // Original dims from the IHDR bytes + the same integer fit-within-box
+    // formula the engine uses (no FP: the binding side pins to 32, the
+    // other scales by integer ratio).
+    "m4_image_resize" ->
+      s"""WITH p AS (SELECT doc_id, h FROM ${OracleAux.rp("m4_png")}),
+         |d AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0, 8), i ->
+         |    (strpos('0123456789ABCDEF', substr(h, 33 + i, 1)) - 1)
+         |      * 16 ** (7 - i))) AS INT) AS w,
+         |  CAST(list_sum(list_transform(range(0, 8), i ->
+         |    (strpos('0123456789ABCDEF', substr(h, 41 + i, 1)) - 1)
+         |      * 16 ** (7 - i))) AS INT) AS hh
+         |FROM p)
+         |SELECT doc_id, w AS orig_w, hh AS orig_h,
+         |  CAST(CASE WHEN w <= 32 AND hh <= 32 THEN w
+         |            WHEN 32 * hh <= 32 * w THEN 32
+         |            ELSE greatest(1, (w * 32) // hh) END AS INT) AS new_w,
+         |  CAST(CASE WHEN w <= 32 AND hh <= 32 THEN hh
+         |            WHEN 32 * hh <= 32 * w THEN greatest(1, (hh * 32) // w)
+         |            ELSE 32 END AS INT) AS new_h
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // FPK1 header: frame count BE32 at bytes 5-8 (hex 9-16); the first
+    // frame's PNG starts at byte 13, so its IHDR dims sit at absolute
+    // bytes 29-32 / 33-36 (hex 57-64 / 65-72). Sampled indices (every 2nd)
+    // regenerate arithmetically.
+    "m5_frame_sample" ->
+      s"""WITH p AS (SELECT doc_id, h FROM ${OracleAux.rp("m5_fpk")}),
+         |d AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0, 8), i ->
+         |    (strpos('0123456789ABCDEF', substr(h, 9 + i, 1)) - 1)
+         |      * 16 ** (7 - i))) AS INT) AS n,
+         |  CAST(list_sum(list_transform(range(0, 8), i ->
+         |    (strpos('0123456789ABCDEF', substr(h, 57 + i, 1)) - 1)
+         |      * 16 ** (7 - i))) AS INT) AS w,
+         |  CAST(list_sum(list_transform(range(0, 8), i ->
+         |    (strpos('0123456789ABCDEF', substr(h, 65 + i, 1)) - 1)
+         |      * 16 ** (7 - i))) AS INT) AS hh
+         |FROM p)
+         |SELECT doc_id,
+         |  CAST(unnest(list_transform(range(0, (n + 1) // 2), i -> i * 2)) AS INT)
+         |    AS frame_idx,
+         |  w AS frame_w, hh AS frame_h
+         |FROM d ORDER BY doc_id, frame_idx""".stripMargin,
 
     // WAV header fields by little-endian byte arithmetic over the dumped
     // hex: byte k (1-based) lives at hex chars 2k-1..2k; an LE field is

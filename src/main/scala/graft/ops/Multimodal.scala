@@ -156,6 +156,127 @@ object Multimodal {
     }).toDF("doc_id", "media").withColumn("kind", lit("audio/wav"))
   }
 
+  /** Aspect-preserving downscale target, in EXACT integer arithmetic (so an
+    * oracle can recompute it without FP edge cases): images already within
+    * the box pass through; otherwise the binding side pins to the box and
+    * the other side scales by integer ratio.
+    */
+  def fitWithin(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) =
+    if (w <= maxW && h <= maxH) (w, h)
+    else if (maxW.toLong * h <= maxH.toLong * w)
+      (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+    else (math.max(1, (w.toLong * maxH / h).toInt), maxH)
+
+  /** Real image resize on the executors: decode (ImageIO), aspect-preserving
+    * downscale into a `maxW`×`maxH` box ([[fitWithin]]), re-encode PNG.
+    * Non-image payloads pass through untouched — one-pass mixed tables.
+    * Schema is preserved (doc_id, media, kind), so resize composes with
+    * [[decodeMeta]] and any downstream stage.
+    */
+  def resizeImages(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media", "kind").as[MediaRow]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { row =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.media))
+            catch { case _: java.io.IOException => null }
+          if (img == null) row
+          else {
+            val (nw, nh) = fitWithin(img.getWidth, img.getHeight, maxW, maxH)
+            if (nw == img.getWidth && nh == img.getHeight) row
+            else {
+              val out = new java.awt.image.BufferedImage(nw, nh,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.drawImage(img, 0, 0, nw, nh, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              MediaRow(row.doc_id, bos.toByteArray, row.kind)
+            }
+          }
+        }
+      }.toDF("doc_id", "media", "kind")
+  }
+
+  /** Length-prefixed frame container ("FPK1"): 4-byte magic, int32-BE frame
+    * count, then per frame int32-BE length + payload. The video analog for
+    * the sandbox — real video codecs aren't in this container, but the
+    * frame-sampling PLUMBING (opaque binary → per-frame rows → decode) is
+    * format-independent; swap the container parser for an ffmpeg demuxer
+    * without touching the plan.
+    */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Every `everyK`-th frame of each framepack as its own row — the
+    * frame-sampling stage. Exploding mapPartitions: output rows ∝ sampled
+    * frames, payloads stay executor-side.
+    */
+  def sampleFrames(media: DataFrame, everyK: Int): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media", "kind").as[MediaRow]
+      .flatMap { row =>
+        val b = row.media
+        if (b.length < 8 || b(0) != 'F' || b(1) != 'P' || b(2) != 'K' || b(3) != '1')
+          Iterator.empty
+        else {
+          def be32(o: Int): Int =
+            ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+              ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+          val n = be32(4)
+          var off = 8
+          val frames = Iterator.range(0, n).map { i =>
+            val len = be32(off)
+            val payload = java.util.Arrays.copyOfRange(b, off + 4, off + 4 + len)
+            off += 4 + len
+            (i, payload)
+          }
+          frames.collect { case (i, p) if i % everyK == 0 => Frame(row.doc_id, i, p) }
+        }
+      }
+  }
+
+  /** Synthetic framepacks of REAL PNG frames: 3 + id%5 frames per doc, all
+    * frames of a doc share deterministic dimensions (16+id%32 × 16+(id/3)%24)
+    * with per-frame content.
+    */
+  def syntheticFramepack(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val n = 3 + (id % 5).toInt
+        val w = 16 + (id % 32).toInt
+        val h = 16 + ((id / 3) % 24).toInt
+        val frames = (0 until n).map { f =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, ((x + id + f) % h).toInt, 0x00ff00 | ((id + f) & 0xff).toInt)
+            x += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(Array[Byte]('F', 'P', 'K', '1'))
+        def be32(v: Int): Array[Byte] = Array(
+          ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+          ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        out.write(be32(n))
+        frames.foreach { fb => out.write(be32(fb.length)); out.write(fb) }
+        (id, out.toByteArray)
+      }
+    }.toDF("doc_id", "media").withColumn("kind", lit("video/framepack"))
+  }
+
   /** Wrap a text table as a media table (synthetic payloads: utf-8 bytes). */
   def asMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), encode(col("text"), "utf-8").as("media"),

@@ -293,6 +293,58 @@ class OpsSpec extends AnyFunSuite {
     assert(other.filter(col("sample_rate") =!= -1 || col("n_frames") =!= -1).isEmpty)
   }
 
+  test("image resize: aspect-preserving, integer-exact, codec round-trip; non-images pass through") {
+    // pure formula cases
+    assert(Multimodal.fitWithin(64, 32, 32, 32) == (32, 16))
+    assert(Multimodal.fitWithin(20, 50, 32, 32) == (12, 32)) // 20*32/50 = 12
+    assert(Multimodal.fitWithin(16, 16, 32, 32) == (16, 16)) // within box
+    assert(Multimodal.fitWithin(1000, 3, 32, 32) == (32, 1)) // never 0
+    val media = Multimodal.syntheticPng(docs.limit(30))
+    val dec = Multimodal.ImageIoDecoder
+    val orig = Multimodal.decodeMeta(media, dec).toDF()
+      .select(col("doc_id"), col("width").as("ow"), col("height").as("oh"))
+    val after = Multimodal.decodeMeta(Multimodal.resizeImages(media, 32, 32), dec).toDF()
+      .select(col("doc_id"), col("width").as("nw"), col("height").as("nh"))
+    val rows = orig.join(after, Seq("doc_id")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ow, oh, nw, nh) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert((nw, nh) == Multimodal.fitWithin(ow, oh, 32, 32), s"($ow,$oh)->($nw,$nh)")
+    }
+    assert(rows.exists(r => r.getInt(3) < r.getInt(1)), "no image actually downscaled")
+    // non-image payloads pass through byte-identically
+    val raw = Multimodal.asMedia(docs.limit(3))
+    val through = Multimodal.resizeImages(raw, 32, 32)
+    assert(through.exceptAll(raw).isEmpty && raw.exceptAll(through).isEmpty)
+  }
+
+  test("frame sampling: every k-th frame explodes to a decodable row") {
+    val packs = Multimodal.syntheticFramepack(docs.limit(25))
+    val frames = Multimodal.sampleFrames(packs, 2).cache()
+    val byDoc = frames.toDF().groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), collect_list("frame_idx").as("idxs")).collect()
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { r =>
+      val id = r.getLong(0)
+      val total = 3 + (id % 5).toInt
+      assert(r.getLong(1) == (total + 1) / 2, s"doc $id sampled ${r.getLong(1)}")
+      assert(r.getSeq[Int](2).sorted == (0 until total by 2).toList)
+    }
+    // every sampled frame is a real decodable PNG with the doc's dims
+    val meta = frames.map { fr =>
+      val m = Multimodal.ImageIoDecoder.decode(
+        Multimodal.MediaRow(fr.doc_id, fr.frame, "image/png"))
+      (fr.doc_id, m.kind, m.width, m.height)
+    }(org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.scalaInt))
+      .toDF("doc_id", "kind", "w", "h")
+    assert(meta.filter(col("kind") =!= "image/png").isEmpty)
+    assert(meta.filter(col("w") =!= lit(16) + pmod(col("doc_id"), lit(32)) ||
+      col("h") =!= lit(16) + pmod(floor(col("doc_id") / 3), lit(24))).isEmpty)
+    frames.unpersist()
+  }
+
   test("multimodal stub: schema, determinism, and byte metadata") {
     val meta = Multimodal.decodeMeta(Multimodal.asMedia(docs)).toDF().cache()
     assert(meta.count() == docs.count())
