@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   * Verify; production state/outputs (seen, sharded filters, 5 output tables,
   * quarantine, metrics, discovered) are all still written and timed.
   *
-  * `queries` times the FULL 31-query verified surface on SPARK_GRAFT_SF_DIR
+  * `queries` times the FULL 36-query verified surface on SPARK_GRAFT_SF_DIR
   * (round-2 verdict ask: the pair generators d6-d12 are now sub-quadratic
   * at scale, so timing them at sf0.1 measures the engine, not a blow-up).
   *
