@@ -39,8 +39,41 @@ final class RoundState(spark: SparkSession, stateDir: String) {
   private val fs: FileSystem = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val manifestDir = new Path(root, "_manifest")
 
-  private def isDir(p: Path): Boolean =
-    try fs.getFileStatus(p).isDirectory catch { case _: java.io.FileNotFoundException => false }
+  // ---- memoized metadata snapshot ------------------------------------------
+  // Without these caches every `readCommitted`-family call re-lists
+  // `_manifest` + `_checkpoints` and re-reads the pointer JSON — ~7× per
+  // crawl round, and each `committedRounds` is an O(rounds) listing on an
+  // object store (10^4 rounds → 10^4 listStatus keys PER CALL). Within one
+  // cache epoch every reader sees a single consistent snapshot of the round
+  // log (the Iceberg snapshot-isolation analog). Local mutations (commit /
+  // checkpointTable / vacuumTable) invalidate automatically; a process
+  // observing ANOTHER writer's commits must call [[refresh]] — reads between
+  // refreshes are intentionally stale (snapshot semantics, StateSpec-tested).
+  private var roundsCache: Option[Seq[Int]] = None
+  private val ckptCache = scala.collection.mutable.HashMap.empty[String, Option[(Int, String)]]
+  private val manifestCache = scala.collection.mutable.HashMap.empty[Int, Option[Map[String, String]]]
+  private val tableRoundsCache = scala.collection.mutable.HashMap.empty[String, Set[Int]]
+
+  /** Drop the memoized metadata snapshot; the next read re-lists the state
+    * dir. The round driver calls this once per round — combined with
+    * auto-invalidation on local mutations, each round pays exactly one
+    * metadata-listing epoch regardless of how many state reads it makes.
+    */
+  def refresh(): Unit = synchronized {
+    roundsCache = None; ckptCache.clear(); manifestCache.clear(); tableRoundsCache.clear()
+  }
+
+  /** Committed round numbers of the delta dirs present under a table — one
+    * listStatus per (table, epoch) instead of one getFileStatus per
+    * (table, round, call).
+    */
+  private def tableRounds(table: String): Set[Int] = synchronized {
+    tableRoundsCache.getOrElseUpdate(table,
+      list(new Path(root, table))
+        .collect { case s if s.startsWith("round=") => s.stripPrefix("round=").toInt }
+        .toSet)
+  }
+  // --------------------------------------------------------------------------
 
   private def list(dir: Path): Seq[String] =
     try fs.listStatus(dir).toSeq.map(_.getPath.getName)
@@ -66,12 +99,19 @@ final class RoundState(spark: SparkSession, stateDir: String) {
       throw new java.io.IOException(s"rename $tmp -> $dest failed")
   }
 
-  def committedRounds: Seq[Int] =
-    list(manifestDir)
-      .collect { case s if s.startsWith("round_") && s.endsWith(".json") =>
-        s.stripPrefix("round_").stripSuffix(".json").toInt
-      }
-      .sorted
+  def committedRounds: Seq[Int] = synchronized {
+    roundsCache match {
+      case Some(r) => r
+      case None =>
+        val r = list(manifestDir)
+          .collect { case s if s.startsWith("round_") && s.endsWith(".json") =>
+            s.stripPrefix("round_").stripSuffix(".json").toInt
+          }
+          .sorted
+        roundsCache = Some(r)
+        r
+    }
+  }
 
   def nextRound: Int = committedRounds.lastOption.map(_ + 1).getOrElse(0)
 
@@ -87,9 +127,10 @@ final class RoundState(spark: SparkSession, stateDir: String) {
     */
   def readCommitted(table: String): Option[DataFrame] = {
     val ckpt = checkpointInfo(table)
+    val present = tableRounds(table)
     val paths = committedRounds.filter(r => ckpt.forall(r > _._1))
+      .filter(present.contains)
       .map(r => s"$stateDir/$table/round=$r")
-      .filter(p => isDir(new Path(p)))
     val parts =
       ckpt.map { case (_, d) => spark.read.parquet(s"$stateDir/$table/$d").drop("_round") }.toSeq ++
         (if (paths.isEmpty) Nil else Seq(spark.read.parquet(paths: _*)))
@@ -103,7 +144,7 @@ final class RoundState(spark: SparkSession, stateDir: String) {
     */
   def readAsOf(table: String, asOfRound: Int): Option[DataFrame] = {
     val rounds = committedRounds.filter(_ <= asOfRound)
-      .filter(r => isDir(new Path(s"$stateDir/$table/round=$r")))
+      .filter(tableRounds(table).contains)
     if (rounds.isEmpty) None
     else Some(spark.read.parquet(rounds.map(r => s"$stateDir/$table/round=$r"): _*))
   }
@@ -115,7 +156,7 @@ final class RoundState(spark: SparkSession, stateDir: String) {
     */
   def readAsOfWithRound(table: String, asOfRound: Int): Option[DataFrame] = {
     val rounds = committedRounds.filter(_ <= asOfRound)
-      .filter(r => isDir(new Path(s"$stateDir/$table/round=$r")))
+      .filter(tableRounds(table).contains)
     if (rounds.isEmpty) None
     else Some(rounds.map { r =>
       spark.read.parquet(s"$stateDir/$table/round=$r")
@@ -132,7 +173,7 @@ final class RoundState(spark: SparkSession, stateDir: String) {
     val ckpt = checkpointInfo(table)
     val rounds = committedRounds
       .filter(r => ckpt.forall(r > _._1))
-      .filter(r => isDir(new Path(s"$stateDir/$table/round=$r")))
+      .filter(tableRounds(table).contains)
     val deltas = rounds.map { r =>
       spark.read.parquet(s"$stateDir/$table/round=$r")
         .withColumn("_round", org.apache.spark.sql.functions.lit(r))
@@ -149,21 +190,23 @@ final class RoundState(spark: SparkSession, stateDir: String) {
     * racing a checkpoint sees either the old or the new pointer — never a
     * missing base.
     */
-  private def checkpointInfo(table: String): Option[(Int, String)] = {
-    val seqs = list(ckptDir(table))
-      .collect { case s if s.startsWith("ckpt_") && s.endsWith(".json") =>
-        s.stripPrefix("ckpt_").stripSuffix(".json").toInt
+  private def checkpointInfo(table: String): Option[(Int, String)] = synchronized {
+    ckptCache.getOrElseUpdate(table, {
+      val seqs = list(ckptDir(table))
+        .collect { case s if s.startsWith("ckpt_") && s.endsWith(".json") =>
+          s.stripPrefix("ckpt_").stripSuffix(".json").toInt
+        }
+      seqs.maxOption.flatMap { s =>
+        graft.extract.Json.parse(readString(new Path(ckptDir(table), s"ckpt_$s.json"))) match {
+          case o: graft.extract.Json.JObj =>
+            for {
+              b <- o.get("base").collect { case graft.extract.Json.JInt(v) => v.toInt }
+              d <- o.get("dir").collect { case graft.extract.Json.JStr(v) => v }
+            } yield (b, d)
+          case _ => None
+        }
       }
-    seqs.maxOption.flatMap { s =>
-      graft.extract.Json.parse(readString(new Path(ckptDir(table), s"ckpt_$s.json"))) match {
-        case o: graft.extract.Json.JObj =>
-          for {
-            b <- o.get("base").collect { case graft.extract.Json.JInt(v) => v.toInt }
-            d <- o.get("dir").collect { case graft.extract.Json.JStr(v) => v }
-          } yield (b, d)
-        case _ => None
-      }
-    }
+    })
   }
 
   /** The round a table's checkpoint base folds up to, if one exists. */
@@ -204,6 +247,7 @@ final class RoundState(spark: SparkSession, stateDir: String) {
         }.maxOption.getOrElse(-1) + 1
       writeAtomic(new Path(ckptDir(table), s"ckpt_$seq.json"),
         s"""{"base": $upTo, "dir": "$baseName"}""".getBytes(StandardCharsets.UTF_8))
+      refresh() // the new base + pointer supersede the memoized snapshot
       upTo
     }
   }
@@ -213,12 +257,15 @@ final class RoundState(spark: SparkSession, stateDir: String) {
     * superseded pointer files. Frees space and dir-listing work at the cost
     * of [[readAsOf]] time travel below the base round.
     */
-  def vacuumTable(table: String): Unit =
+  def vacuumTable(table: String): Unit = {
     checkpointInfo(table).foreach { case (b, dir) =>
       committedRounds.filter(_ <= b)
         .foreach(r => fs.delete(new Path(root, s"$table/round=$r"), true))
+      // prune (a) base dirs the live pointer does not reference and (b)
+      // `._base_*.tmp` leftovers of checkpoint attempts that crashed
+      // mid-write — without (b) crashed-attempt temp dirs accumulate forever
       list(new Path(root, table))
-        .filter(n => n.startsWith("_base_") && n != dir)
+        .filter(n => (n.startsWith("_base_") && n != dir) || n.startsWith("._base_"))
         .foreach(n => fs.delete(new Path(root, s"$table/$n"), true))
       val seqs = list(ckptDir(table))
         .collect { case s if s.startsWith("ckpt_") && s.endsWith(".json") =>
@@ -227,6 +274,8 @@ final class RoundState(spark: SparkSession, stateDir: String) {
       seqs.maxOption.foreach(keep => seqs.filter(_ < keep)
         .foreach(s => fs.delete(new Path(ckptDir(table), s"ckpt_$s.json"), false)))
     }
+    refresh() // deleted delta dirs invalidate the per-table round listing
+  }
 
   /** Latest committed FULL-SNAPSHOT table (e.g. the sharded seen filters):
     * unlike delta tables, only the newest committed round's write is current.
@@ -235,7 +284,7 @@ final class RoundState(spark: SparkSession, stateDir: String) {
     */
   def readLatestSnapshot(table: String): Option[DataFrame] =
     committedRounds.reverse
-      .find(r => isDir(new Path(s"$stateDir/$table/round=$r")))
+      .find(tableRounds(table).contains)
       .map(r => spark.read.parquet(s"$stateDir/$table/round=$r"))
 
   /** Row count of one written delta (parquet footer metadata read). */
@@ -261,25 +310,36 @@ final class RoundState(spark: SparkSession, stateDir: String) {
   /** Flat string map of a committed round's manifest (carries e.g. the
     * cumulative seen count so rounds never recount the full history).
     */
-  def readManifest(round: Int): Option[Map[String, String]] = {
-    val p = new Path(manifestDir, s"round_$round.json")
-    if (!fs.exists(p)) return None
-    // a real JSON parse (not a regex): values containing ',', '}', '"' or
-    // escapes survive as commit() grows fields
-    graft.extract.Json.parse(readString(p)) match {
-      case o: graft.extract.Json.JObj =>
-        Some(o.entries.map { case (k, v) => k -> graft.extract.Json.pyStr(v) }.toMap)
-      case _ => None
-    }
+  def readManifest(round: Int): Option[Map[String, String]] = synchronized {
+    // gate on the memoized committed set (the manifest file IS the commit
+    // marker): a round committed by another writer after this epoch began
+    // stays invisible until refresh() — snapshot semantics, no extra I/O
+    if (!committedRounds.contains(round)) None
+    else manifestCache.getOrElseUpdate(round, {
+      val p = new Path(manifestDir, s"round_$round.json")
+      if (!fs.exists(p)) None
+      // a real JSON parse (not a regex): values containing ',', '}', '"' or
+      // escapes survive as commit() grows fields
+      else graft.extract.Json.parse(readString(p)) match {
+        case o: graft.extract.Json.JObj =>
+          Some(o.entries.map { case (k, v) => k -> graft.extract.Json.pyStr(v) }.toMap)
+        case _ => None
+      }
+    })
   }
 
-  /** Commit a round: manifest written last, after all table writes landed. */
+  /** Commit a round: manifest written last, after all table writes landed.
+    * Keys and string values serialize through the JSON writer (escaped), so
+    * a value containing a quote/backslash survives the strict readManifest.
+    */
   def commit(round: Int, info: Map[String, Any]): Unit = {
+    import graft.extract.Json
     val json = info.map {
-      case (k, v: String) => s""""$k": "$v""""
-      case (k, v) => s""""$k": $v"""
+      case (k, v: String) => s"${Json.dumps(Json.JStr(k))}: ${Json.dumps(Json.JStr(v))}"
+      case (k, v) => s"${Json.dumps(Json.JStr(k))}: $v"
     }.mkString("{", ", ", "}")
     writeAtomic(new Path(manifestDir, s"round_$round.json"),
       json.getBytes(StandardCharsets.UTF_8))
+    refresh() // the new manifest advances the committed-round snapshot
   }
 }

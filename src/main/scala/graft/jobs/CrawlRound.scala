@@ -46,6 +46,12 @@ object CrawlRound {
           writeLineage: Boolean = true): RoundStats = {
     import spark.implicits._
 
+    // One metadata-listing epoch per round: every state read below hits the
+    // RoundState memo; commit() at round end re-invalidates. refresh() here
+    // (not just relying on commit's auto-invalidation) also picks up commits
+    // by OTHER writers between rounds.
+    state.refresh()
+
     // F3: the frontier GROWS — candidates discovered from listing pages
     // fetched in committed rounds join the seed list (discovery_service.py
     // semantics; the reference's frontier is built from category-page

@@ -80,8 +80,16 @@ object DashboardServer {
   def start(spark: SparkSession, stateDir: String, port: Int): HttpServer = {
     val state = new RoundState(spark, stateDir)
     val server = HttpServer.create(new InetSocketAddress(port), 0)
-    val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    @volatile var cachedRound = Int.MinValue
+    // Response cache, swapped WHOLE per committed round: entries computed
+    // against round K can never leak into round K+1's map (atomic
+    // invalidation even under a future thread-pool executor), and the
+    // per-round map is size-capped so arbitrary ?limit=/asOf= URIs cannot
+    // grow it without bound. Bodies compute OUTSIDE the map (no Spark jobs
+    // under a CHM bin lock); a racing duplicate compute is idempotent.
+    val MaxCacheEntries = 256
+    val cacheRef = new java.util.concurrent.atomic.AtomicReference[
+      (Int, java.util.concurrent.ConcurrentHashMap[String, String])](
+      (Int.MinValue, new java.util.concurrent.ConcurrentHashMap[String, String]()))
 
     def reply(ex: HttpExchange, status: Int, body: String, mime: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -103,10 +111,21 @@ object DashboardServer {
       server.createContext(path, new HttpHandler {
         override def handle(ex: HttpExchange): Unit =
           try {
+            // re-list the round log per request (the crawler is a separate
+            // writer — the server's RoundState memo must not go stale), then
+            // serve every state read in this request from that one epoch
+            state.refresh()
             val latest = state.committedRounds.lastOption.getOrElse(-1)
-            if (latest != cachedRound) { cache.clear(); cachedRound = latest }
-            val resp = cache.computeIfAbsent(ex.getRequestURI.toString,
-              _ => body(params(ex)))
+            val (_, cache) = cacheRef.updateAndGet {
+              case t @ (r, _) if r == latest => t
+              case _ => (latest, new java.util.concurrent.ConcurrentHashMap[String, String]())
+            }
+            val uri = ex.getRequestURI.toString
+            val resp = Option(cache.get(uri)).getOrElse {
+              val b = body(params(ex))
+              if (cache.size < MaxCacheEntries) cache.put(uri, b)
+              b
+            }
             reply(ex, 200, resp, "application/json")
           } catch { case e: Throwable =>
             reply(ex, 500, s"""{"error":${Json.dumps(

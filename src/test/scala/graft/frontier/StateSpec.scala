@@ -146,6 +146,103 @@ class StateSpec extends AnyFunSuite {
       .sameElements(before))
   }
 
+  test("metadata memo: reads are a stale snapshot until refresh() sees another writer") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp()
+    val writer = new RoundState(spark, dir)
+    val reader = new RoundState(spark, dir)
+    writer.writeDelta("t", 0, Seq((1, "a")).toDF("k", "v"))
+    writer.commit(0, Map("round" -> 0))
+    assert(reader.committedRounds == Seq(0)) // primes the reader's memo
+    assert(reader.readCommitted("t").get.count() == 1)
+    // another writer advances the log; the reader's epoch must NOT move —
+    // snapshot isolation within an epoch is the contract, not a bug
+    writer.writeDelta("t", 1, Seq((2, "b")).toDF("k", "v"))
+    writer.commit(1, Map("round" -> 1))
+    assert(reader.committedRounds == Seq(0))
+    assert(reader.readCommitted("t").get.count() == 1)
+    assert(reader.readManifest(1).isEmpty)
+    reader.refresh()
+    assert(reader.committedRounds == Seq(0, 1))
+    assert(reader.readCommitted("t").get.count() == 2)
+    assert(reader.readManifest(1).flatMap(_.get("round")).contains("1"))
+    // the writer's own commit() self-invalidated — no refresh needed there
+    assert(writer.committedRounds == Seq(0, 1))
+  }
+
+  test("vacuum prunes crashed-attempt ._base_*.tmp leftovers") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp()
+    val state = new RoundState(spark, dir)
+    state.writeDelta("t", 0, Seq((1, "a")).toDF("k", "v"))
+    state.commit(0, Map("round" -> 0))
+    state.checkpointTable("t")
+    // simulate a checkpoint attempt that crashed mid-base-write: the dot-tmp
+    // dir exists, no base was renamed, no pointer references it
+    Files.createDirectory(Paths.get(dir, "t", "._base_0_a9.tmp"))
+    state.vacuumTable("t")
+    val names = Files.list(Paths.get(dir, "t")).iterator()
+    var left = List.empty[String]
+    names.forEachRemaining(p => left ::= p.getFileName.toString)
+    assert(!left.exists(_.startsWith("._base_")), left.toString)
+    assert(left.count(_.startsWith("_base_")) == 1, left.toString)
+    assert(state.readCommitted("t").get.count() == 1)
+  }
+
+  test("manifest values with quotes/backslashes round-trip commit -> readManifest") {
+    val dir = tmp()
+    val state = new RoundState(spark, dir)
+    val tricky = """he said "hi" C:\tmp\x, {brace}"""
+    state.commit(0, Map("round" -> 0, "note" -> tricky, "n" -> 7L))
+    val m = new RoundState(spark, dir).readManifest(0).get
+    assert(m("note") == tricky)
+    assert(m("n") == "7")
+    assert(m("round") == "0")
+  }
+
+  test("200-round state: checkpoint+vacuum keeps reads O(1) dirs (S10 at scale)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp()
+    val state = new RoundState(spark, dir)
+    // one real parquet delta, fs-copied to 200 round dirs (the test is about
+    // metadata shape, not 200 Spark write jobs)
+    state.writeDelta("t", 0, Seq((0, "v")).toDF("k", "v"))
+    state.commit(0, Map("round" -> 0))
+    val src = Paths.get(dir, "t", "round=0")
+    (1 until 200).foreach { r =>
+      val dst = Paths.get(dir, "t", s"round=$r")
+      Files.createDirectories(dst)
+      Files.list(src).iterator().forEachRemaining { p =>
+        Files.copy(p, dst.resolve(p.getFileName.toString))
+      }
+      state.commit(r, Map("round" -> r))
+    }
+    state.refresh()
+    assert(state.committedRounds.size == 200)
+    assert(state.readCommitted("t").get.count() == 200)
+    state.checkpointTable("t")
+    state.vacuumTable("t")
+    // after vacuum the table dir holds exactly the one referenced base: a
+    // reader lists O(1) dirs no matter how many rounds committed
+    val names = Files.list(Paths.get(dir, "t")).iterator()
+    var left = List.empty[String]
+    names.forEachRemaining(p => left ::= p.getFileName.toString)
+    assert(left.size == 1 && left.head.startsWith("_base_"), left.toString)
+    val read = state.readCommitted("t").get
+    assert(read.count() == 200)
+    assert(read.inputFiles.forall(_.contains("_base_")), "read must touch only the base")
+    // metadata reads inside one epoch are memoized: a burst of state reads
+    // (the ~7-per-round crawl pattern) costs one listing epoch, so 100
+    // readCommitted plan constructions stay well under a second each
+    val t0 = System.nanoTime()
+    (0 until 100).foreach(_ => state.readCommitted("t"))
+    val perCall = (System.nanoTime() - t0) / 1e9 / 100
+    assert(perCall < 0.5, f"readCommitted took $perCall%.3f s/call after vacuum")
+  }
+
   test("vacuum removes covered deltas; readers unchanged") {
     val dir = tmp()
     val state = runAll(dir)
