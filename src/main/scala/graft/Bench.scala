@@ -17,6 +17,11 @@ import org.apache.spark.sql.SparkSession
   * `queries` times the FULL 36-query verified surface on SPARK_GRAFT_SF_DIR
   * (round-2 verdict ask: the pair generators d6-d12 are now sub-quadratic
   * at scale, so timing them at sf0.1 measures the engine, not a blow-up).
+  * The HEAVY queries run SPARK_GRAFT_QUERY_REPS (default 3) times and
+  * report the MEDIAN, with the raw run array in `query_runs` — single-shot
+  * numbers on this box swing 78-131% with zero code change (round-4
+  * verdict: hypervisor noise), and medians stop verdicts from chasing
+  * phantom regressions.
   *
   * Cross-parallelism scaling evidence lives in BENCH/BASELINE.md
   * (tools/scaling_bench.sh) — same job at local[2..32] via spark-submit.
@@ -30,6 +35,7 @@ object Bench {
     "d5_langid", "d6_ngram_jaccard", "d7_minhash_lsh", "d8_simhash",
     "d9_ann_brute_topk", "d10_ann_lsh", "d11_embed_neardup", "d12_edit_distance",
     "d13_ann_lsh_prodparams", "d14_winnow_fp", "d15_simhash_prod", "d16_ann_ivf",
+    "d17_simhash_mid",
     "m1_media_meta", "m2_image_decode", "m3_audio_decode", "m4_image_resize",
     "m5_frame_sample", "g1_geo_clean", "a1_health_ewma", "s5_merge_compact",
     "crawl_extract_jobs", "crawl_rounds")
@@ -50,17 +56,34 @@ object Bench {
     // warm the session so the first timed query doesn't absorb startup
     spark.range(1000).count()
 
+    // queries whose single-shot timings have swung >50% run-to-run on this
+    // box with unchanged code — they get median-of-N treatment
+    val heavy = Set(
+      "d6_ngram_jaccard", "d7_minhash_lsh", "d8_simhash", "d9_ann_brute_topk",
+      "d10_ann_lsh", "d11_embed_neardup", "d13_ann_lsh_prodparams",
+      "d14_winnow_fp", "d15_simhash_prod", "d16_ann_ivf", "d17_simhash_mid",
+      "crawl_extract_jobs", "crawl_rounds")
+    val qreps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      // isolate queries from each other's heap pressure: the heavy pair
-      // generators leave tens of GB garbage; without a collect here the
-      // NEXT query pays the GC debt (observed 4x swings on d10)
-      System.gc()
-      val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name: $sec%.2f s ($n rows)")
-      name -> sec
+      val secs = (1 to (if (heavy(name)) qreps else 1)).map { rep =>
+        // isolate queries from each other's heap pressure: the heavy pair
+        // generators leave tens of GB garbage; without a collect here the
+        // NEXT query pays the GC debt (observed 4x swings on d10)
+        System.gc()
+        val t0 = System.nanoTime()
+        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name#$rep: $sec%.2f s ($n rows)")
+        sec
+      }
+      (name, median(secs), secs)
     }
 
     // headline crawl-throughput measurement: full round pipeline, one round,
@@ -84,15 +107,19 @@ object Bench {
     val (st, crawlSec) = runs.minBy(_._2)
     val urlsPerSec = if (crawlSec > 0) st.scheduled / crawlSec else 0.0
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qruns = results.collect { case (k, _, secs) if secs.size > 1 =>
+      "\"" + k + "\":" + secs.map(s => f"$s%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val allSecs = runs.map(_._2).map(s => f"$s%.3f").mkString("[", ",", "]")
     println(
       s"""{"metric":"urls_scheduled_extracted_per_sec","value":$urlsPerSec,""" +
       s""""unit":"urls/sec","crawl_pages":$crawlPages,"crawl_sec":$crawlSec,""" +
       s""""crawl_runs_sec":$allSecs,""" +
       s""""crawl_scheduled":${st.scheduled},"crawl_extracted":${st.extracted},""" +
-      s""""queries_total_sec":${results.map(_._2).sum},"queries":$qs,"sf":"$sfDir"}""")
+      s""""queries_total_sec":${results.map(_._2).sum},"queries":$qs,""" +
+      s""""query_runs":$qruns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -270,6 +270,22 @@ object Queries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // A MID radius (maxDist=5) through the c=12 uneven-chunk combination
+    // route that closed the round-4 d=4..7 floor (C(12,7)=792 subsets of
+    // >= 25-bit keys) — oracle-certified like d8 (radius 7) and d15
+    // (radius 3), so every routed key layout has an independent
+    // all-pairs-hamming certificate.
+    "d17_simhash_mid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mutated = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        array_join(slice(split(col("text"), " "), lit(1),
+          greatest(size(split(col("text"), " ")) - 1, lit(1))), " ").as("text"))
+      val uni = docs.select("doc_id", "text").unionByName(mutated)
+      OracleAux.dump(graft.ops.TextOps.withSimhash(uni), "d17_simhashes")
+      graft.ops.TextOps.simhashPairs(uni, maxDist = 5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "d9_ann_brute_topk" -> ((s, dir) => {
       graft.ops.VectorOps.bruteForceTopK(t(s, dir, "embeddings"), 3)
         .orderBy("query_id", "rank")
@@ -998,6 +1014,16 @@ object Queries {
          |  bit_count(xor(a.simhash, b.simhash)) AS hamming
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // All-pairs hamming at the mid radius: a MATCH certifies the c=12
+    // uneven-chunk subset keys (the round-5 floor fix) lost nothing.
+    "d17_simhash_mid" ->
+      s"""WITH s AS (SELECT doc_id, simhash FROM ${OracleAux.rp("d17_simhashes")})
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Brute-force top-3 over the dumped planted-cluster vectors: a MATCH

@@ -110,6 +110,25 @@ object Geo {
     (due, deferred)
   }
 
+  /** Resolve a QPS-capped due batch through a real [[NominatimClient]] —
+    * driver-side sequential calls, in sorted order, because the reference's
+    * distributed 1-QPS lock (geocoder.py:166-171) makes external geocoding
+    * inherently serial: the due set is already bounded by [[throttleMisses]]
+    * (≤ qps × window rows), so this is never corpus-scale work. Unresolved
+    * queries are simply absent from the result and stay queued for the next
+    * round. Output schema matches [[stubResolve]] / the cache table, so the
+    * merge → re-enrich round trip is identical whichever provider ran.
+    */
+  def resolveWith(due: DataFrame, client: NominatimClient): DataFrame = {
+    val spark = due.sparkSession
+    import spark.implicits._
+    val resolved = due.select("geo_query").collect().map(_.getString(0)).sorted.toSeq
+      .flatMap { q =>
+        client.resolve(q).map { case (lat, lon, disp) => (q, lat, lon, disp) }
+      }
+    resolved.toDF("clean_addr", "lat", "lon", "display_name")
+  }
+
   /** STUB provider (clearly marked, like Multimodal.StubDecoder): the
     * container has no network, so resolving misses against real Nominatim is
     * impossible — this produces deterministic fake coordinates in Taiwan's

@@ -63,16 +63,83 @@ object DashboardServer {
     */
   private val JsonNumber = "-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?".r
 
+  /** The monitoring page (dashboard/dashboard.html in the reference: stat
+    * tiles over /api/stats, tabbed jobs/health tables, a search filter and
+    * periodic refresh — re-implemented from scratch, self-contained, no CDN
+    * assets). Same data surface, plus a Rounds tab over the manifest log
+    * that the reference keeps CLI-only.
+    */
   private val page =
-    """<!doctype html><title>graft crawl dashboard</title>
-      |<h1>graft crawl dashboard</h1>
-      |<ul><li><a href="/api/stats">stats</a></li>
-      |<li><a href="/api/health">health</a></li>
-      |<li><a href="/api/jobs?limit=50">recent jobs</a></li>
-      |<li><a href="/api/alerts">alerts</a></li>
-      |<li><a href="/api/missing">missing rates</a></li>
-      |<li><a href="/api/counts">counts</a></li>
-      |<li><a href="/api/rounds">rounds</a></li></ul>""".stripMargin
+    """<!doctype html><html><head><meta charset="utf-8">
+      |<title>graft crawl dashboard</title>
+      |<style>
+      | body{font-family:system-ui,sans-serif;margin:0;background:#f4f5f7;color:#1d2733}
+      | header{background:#1d2733;color:#fff;padding:14px 24px;font-size:20px}
+      | .tiles{display:flex;gap:14px;padding:18px 24px;flex-wrap:wrap}
+      | .tile{background:#fff;border-radius:8px;padding:14px 20px;min-width:150px;
+      |   box-shadow:0 1px 3px rgba(0,0,0,.12)}
+      | .tile .v{font-size:26px;font-weight:700}.tile .l{font-size:12px;color:#667}
+      | nav{padding:0 24px}nav button{border:0;background:none;padding:10px 14px;
+      |   cursor:pointer;font-size:14px;border-bottom:2px solid transparent}
+      | nav button.on{border-color:#2563eb;color:#2563eb;font-weight:600}
+      | #q{margin:10px 24px;padding:8px;width:320px;border:1px solid #ccd;border-radius:6px}
+      | table{border-collapse:collapse;margin:4px 24px 40px;background:#fff;width:calc(100% - 48px)}
+      | th,td{padding:6px 10px;border-bottom:1px solid #e5e8ee;font-size:13px;text-align:left}
+      | th{background:#eef1f6;position:sticky;top:0}
+      | .lamp{display:inline-block;width:10px;height:10px;border-radius:50%}
+      | .green{background:#16a34a}.yellow{background:#eab308}.red{background:#dc2626}
+      | .gray{background:#9ca3af}
+      |</style></head><body>
+      |<header>graft crawl dashboard</header>
+      |<div class="tiles">
+      | <div class="tile"><div class="v" id="t-jobs">–</div><div class="l">jobs</div></div>
+      | <div class="tile"><div class="v" id="t-comps">–</div><div class="l">companies</div></div>
+      | <div class="tile"><div class="v" id="t-geo">–</div><div class="l">geo coverage %</div></div>
+      | <div class="tile"><div class="v" id="t-layers">–</div><div class="l">data source layers</div></div>
+      |</div>
+      |<nav>
+      | <button id="b-jobs" class="on" onclick="show('jobs')">Jobs</button>
+      | <button id="b-health" onclick="show('health')">Health</button>
+      | <button id="b-rounds" onclick="show('rounds')">Rounds</button>
+      | <a href="/api/alerts" style="font-size:12px;margin-left:14px">alerts</a>
+      | <a href="/api/missing" style="font-size:12px;margin-left:8px">missing</a>
+      | <a href="/api/counts" style="font-size:12px;margin-left:8px">counts</a>
+      |</nav>
+      |<input id="q" placeholder="filter rows…" oninput="render()">
+      |<table><thead><tr id="head"></tr></thead><tbody id="body"></tbody></table>
+      |<script>
+      |let tab='jobs', data={jobs:[],health:[],rounds:[]};
+      |const esc=s=>String(s==null?'':s).replace(/[&<>"]/g,
+      |  c=>({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;'}[c]));
+      |function show(t){tab=t;for(const x of ['jobs','health','rounds'])
+      |  document.getElementById('b-'+x).className=x===t?'on':'';render()}
+      |function render(){
+      |  const rows=data[tab]||[], q=document.getElementById('q').value.toLowerCase();
+      |  const kept=q?rows.filter(r=>JSON.stringify(r).toLowerCase().includes(q)):rows;
+      |  const cols=kept.length?Object.keys(kept[0]):[];
+      |  document.getElementById('head').innerHTML=cols.map(c=>'<th>'+esc(c)+'</th>').join('');
+      |  document.getElementById('body').innerHTML=kept.map(r=>'<tr>'+cols.map(c=>{
+      |    if(c==='status')return '<td><span class="lamp '+esc(r[c])+'"></span> '+esc(r[c])+'</td>';
+      |    return '<td>'+esc(r[c])+'</td>';}).join('')+'</tr>').join('');
+      |}
+      |async function refresh(){
+      |  try{
+      |    const [stats,jobs,health,rounds]=await Promise.all([
+      |      fetch('/api/stats').then(r=>r.json()),
+      |      fetch('/api/jobs?limit=50').then(r=>r.json()),
+      |      fetch('/api/health').then(r=>r.json()),
+      |      fetch('/api/rounds').then(r=>r.json())]);
+      |    document.getElementById('t-jobs').textContent=stats.job_count;
+      |    document.getElementById('t-comps').textContent=stats.company_count;
+      |    document.getElementById('t-geo').textContent=stats.geo_coverage;
+      |    document.getElementById('t-layers').textContent=
+      |      Object.entries(stats.layers||{}).map(([k,v])=>k+':'+v).join(' / ')||'–';
+      |    data={jobs:jobs,health:health,rounds:rounds.rounds};
+      |    render();
+      |  }catch(e){console.error(e)}
+      |}
+      |refresh();setInterval(refresh,30000);
+      |</script></body></html>""".stripMargin
 
   /** Start serving `stateDir` on `port` (0 = ephemeral); returns the server
     * (caller stops it).
@@ -202,7 +269,11 @@ object DashboardServer {
         .mkString("{", ",", "}")
       s"""{"rounds":$rounds,"checkpoint_bases":$bases}"""
     }
+    // the page serves at / and /dashboard (dashboard_server.py:101-115)
     server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = reply(ex, 200, page, "text/html")
+    })
+    server.createContext("/dashboard", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = reply(ex, 200, page, "text/html")
     })
     server.start()

@@ -195,7 +195,10 @@ object Multimodal {
               g.dispose()
               val bos = new java.io.ByteArrayOutputStream()
               javax.imageio.ImageIO.write(out, "png", bos)
-              MediaRow(row.doc_id, bos.toByteArray, row.kind)
+              // the payload was re-encoded as PNG — the kind column must
+              // say so (a resized JPEG carrying kind=image/jpeg would lie
+              // to any consumer that trusts kind over magic bytes)
+              MediaRow(row.doc_id, bos.toByteArray, "image/png")
             }
           }
         }
@@ -229,12 +232,22 @@ object Multimodal {
               ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
           val n = be32(4)
           var off = 8
+          // a truncated/corrupt container (negative or overlong length,
+          // count beyond the buffer) must degrade like the bad-magic case —
+          // emit the frames that parse, stop at the first violation, never
+          // throw and fail the whole task
           val frames = Iterator.range(0, n).map { i =>
-            val len = be32(off)
-            val payload = java.util.Arrays.copyOfRange(b, off + 4, off + 4 + len)
-            off += 4 + len
-            (i, payload)
-          }
+            if (off + 4 > b.length) (i, null: Array[Byte])
+            else {
+              val len = be32(off)
+              if (len < 0 || off + 4 + len > b.length) (i, null: Array[Byte])
+              else {
+                val payload = java.util.Arrays.copyOfRange(b, off + 4, off + 4 + len)
+                off += 4 + len
+                (i, payload)
+              }
+            }
+          }.takeWhile(_._2 != null)
           frames.collect { case (i, p) if i % everyK == 0 => Frame(row.doc_id, i, p) }
         }
       }

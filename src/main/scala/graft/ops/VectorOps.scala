@@ -112,7 +112,10 @@ object VectorOps {
     * (the `nlist` vectors with the smallest xxhash64(vec_id) — a seedless
     * uniform sample); each iteration assigns by max-cosine and recomputes
     * element-wise member means via posexplode + avg (order-insensitive,
-    * so the result is parallelism-independent). Returns (cell, centroid).
+    * so the result is parallelism-independent). Cells left empty by an
+    * iteration keep their previous centroid (cell count is a training
+    * invariant), and each iteration localCheckpoints the nlist-row result
+    * so plan size stays constant in `iters`. Returns (cell, centroid).
     *
     * `initStride` overrides the init with every-`stride`-th vector
     * (vec_id % stride == 0) — the oracle hook: on an id-ordered planted
@@ -141,12 +144,26 @@ object VectorOps {
       // element-wise member mean per cell: explode to (cell, dim, x), avg,
       // re-assemble ordered by dim (sort_array on (dim, mean) structs keeps
       // the rebuild deterministic under any row order)
-      centroids = assigned
+      val means = assigned
         .select(col("cell"), posexplode(toDouble(col("embedding"))).as(Seq("dim", "x")))
         .groupBy("cell", "dim").agg(avg("x").as("m"))
         .groupBy("cell")
         .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cell"), transform(col("dm"), e => e.getField("m")).as("centroid"))
+        .select(col("cell"), transform(col("dm"), e => e.getField("m")).as("mean"))
+      // EMPTY-CELL RE-SEEDING: a cell that attracted no members this round
+      // would silently vanish from the groupBy output and nlist would decay
+      // (the classic k-means empty-cluster bug); keep its previous centroid
+      // so the quantizer's cell count is an invariant of training
+      val next = centroids
+        .join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("mean"), col("centroid")).as("centroid"))
+      // TRUNCATE lineage each iteration: without this the plan nests one
+      // full assign+regroup subtree per iteration (fine at iters=2, an
+      // analyzer blow-up at iters>>10). localCheckpoint materializes the
+      // nlist-row frame and replaces its lineage with the computed rows —
+      // the frame is re-derivable training state, so the non-replicated
+      // storage is an acceptable trade even on a real cluster.
+      centroids = next.localCheckpoint(true)
     }
     centroids
   }
@@ -178,6 +195,11 @@ object VectorOps {
     * query on average), never n²; the centroid table is broadcast-sized by
     * construction. Pass a pre-trained `centroids` frame to share one
     * quantizer across queries (and for the d16 oracle's stride init).
+    *
+    * Recall is the `nprobe` knob: clustered corpora reach high recall at
+    * small nprobe (the planted-cluster spec hits 0.95+ at 4/12); an
+    * ISOTROPIC corpus — ANN's worst case, neighbors barely correlated with
+    * cells — needs nprobe ≈ 0.6×nlist for 0.9 (OpsSpec pins that curve).
     */
   def ivfTopK(embeddings: DataFrame, k: Int = 3, nlist: Int = 16,
               nprobe: Int = 4, iters: Int = 2,

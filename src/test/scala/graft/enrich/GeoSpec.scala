@@ -50,6 +50,56 @@ class GeoSpec extends AnyFunSuite {
     assert(got(3) == "")
   }
 
+  test("Nominatim-shaped client replays the reference's fallback ladder from a capture") {
+    val t = graft.net.RecordedTransport.fromResource("/fixtures/nominatim_ladder.json")
+    val c = new NominatimClient(t, "http://localhost:8088/search")
+    // full cleaned address returns no result -> street-level fallback hits
+    // (geocoder.py:131-138: 台南市中西區環河街62號 -> 台南市中西區環河街)
+    val r = c.resolve("台南市中西區環河街62號")
+    assert(r.exists { case (lat, lon, disp) =>
+      math.abs(lat - 22.9971205) < 1e-9 && math.abs(lon - 120.1966119) < 1e-9 &&
+        disp.startsWith("環河街")
+    }, r.toString)
+    // a resolvable full address short-circuits the ladder (one call only)
+    val r2 = c.resolve("高雄市左營區博愛二路777號")
+    assert(r2.exists(_._1 == 22.6899512), r2.toString)
+    assert(t.exhausted)
+  }
+
+  test("Nominatim city/district fallback fires when no street token exists") {
+    def u(q: String) = "http://localhost:8088/search?q=" +
+      java.net.URLEncoder.encode(s"$q, Taiwan", "UTF-8").replace("+", "%20") +
+      "&format=json&limit=1&addressdetails=1"
+    val t = new graft.net.RecordedTransport(Seq(
+      graft.net.RecordedExchange("GET", u("左營福利里"), Nil, 200, "[]"),
+      graft.net.RecordedExchange("GET", u("高雄市左營區"), Nil, 200,
+        """[{"lat": "22.6892", "lon": "120.2953", "display_name": "左營區, 高雄市, 臺灣"}]""")))
+    val c = new NominatimClient(t, "http://localhost:8088/search")
+    // no 路/街/巷/大道/段 token -> street fallback skipped -> city+district
+    val r = c.resolve("左營福利里", city = Some("高雄市"), district = Some("左營區"))
+    assert(r.exists(_._3 == "左營區, 高雄市, 臺灣"), r.toString)
+    assert(t.exhausted)
+  }
+
+  test("resolveWith merges a recorded batch into the cache like the stub path") {
+    import spark.implicits._
+    val jobs = Seq(("j1", "台南市中西區環河街62號"), ("j2", "高雄市左營區博愛二路777號"))
+      .toDF("id", "address")
+    val cache = Seq.empty[(String, Double, Double, String)]
+      .toDF("clean_addr", "lat", "lon", "display_name")
+    val enriched = Geo.enrich(jobs, cache)
+    val (due, deferred) = Geo.throttleMisses(Geo.misses(enriched), qps = 1.0, windowSeconds = 2.0)
+    assert(due.count() == 2 && deferred.isEmpty)
+    val t = graft.net.RecordedTransport.fromResource("/fixtures/nominatim_ladder.json")
+    val resolved = Geo.resolveWith(due, new NominatimClient(t, "http://localhost:8088/search"))
+    assert(resolved.count() == 2)
+    // merged cache ends the miss queue — identical round trip to stubResolve
+    val round2 = Geo.enrich(jobs, cache.unionByName(resolved))
+    assert(Geo.misses(round2).isEmpty)
+    assert(round2.filter(col("id") === "j2").collect()(0)
+      .getAs[Double]("geo_lat") == 22.6899512)
+  }
+
   test("cache join enriches hits, misses feed the stub and then resolve") {
     import spark.implicits._
     val jobs = Seq(

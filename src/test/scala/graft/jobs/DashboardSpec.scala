@@ -96,7 +96,16 @@ class DashboardSpec extends AnyFunSuite {
 
       assert(Json.parse(get("/api/missing")).isInstanceOf[Json.JArr])
       assert(Json.parse(get("/api/alerts")).isInstanceOf[Json.JArr])
-      assert(get("/").contains("dashboard"))
+      // the monitoring page (reference dashboard.html parity): stat tiles,
+      // tabbed tables, search filter, periodic refresh; served at both paths
+      val html = get("/")
+      assert(html.contains("graft crawl dashboard"))
+      for (frag <- Seq("t-jobs", "t-comps", "t-geo", "t-layers", // stat tiles
+                       "b-health", "b-rounds",                   // tabs
+                       "filter rows", "setInterval(refresh",     // search + refresh
+                       "/api/stats", "/api/jobs?limit=50", "/api/health"))
+        assert(html.contains(frag), s"page missing $frag")
+      assert(get("/dashboard") == html)
     } finally server.stop(0)
   }
 }

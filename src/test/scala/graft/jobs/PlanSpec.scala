@@ -130,6 +130,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("blk_key") && !plan.contains("chunk_val"), plan.take(2000))
   }
 
+  test("d8 radius-7 path joins on 12-chunk combination keys (8-bit floor closed)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.ops.TextOps.simhashPairs(docs, maxDist = 7))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1500))
+    // same (blk, blk_key) equi-join shape as the production radius — the
+    // key-width guarantee itself is unit-asserted via simhashBlocking
+    assert(plan.contains("blk_key"), plan.take(2000))
+  }
+
   test("ivf search joins candidates on cell equi-keys; only centroid scoring broadcasts") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val plan = planOf(graft.ops.VectorOps.ivfTopK(emb, 3, nlist = 8, nprobe = 2, iters = 0))

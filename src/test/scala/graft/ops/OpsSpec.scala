@@ -55,7 +55,7 @@ class OpsSpec extends AnyFunSuite {
     val n = docs.count()
     val pairs = TextOps.simhashPairs(withMutations(docs, 2), maxDist = 7)
     val planted = pairs.filter(col("doc_b") - col("doc_a") === 1000000).count()
-    // 8x8-bit chunk blocking is LOSSLESS for hamming <= 7 (pigeonhole), so
+    // chunk-subset blocking is LOSSLESS for hamming <= 7 (pigeonhole), so
     // misses can only be pairs whose true hamming exceeds maxDist
     assert(planted >= (n * 0.8).toLong, s"found $planted of $n planted dups")
   }
@@ -77,6 +77,20 @@ class OpsSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("simhash blocking plan: no 8-bit key floor at any permitted radius") {
+    for (d <- 0 to 7) {
+      val (c, widths) = TextOps.simhashBlocking(d)
+      assert(widths.sum == 64, s"d=$d widths=$widths")
+      val m = c - d
+      assert(m >= 1, s"d=$d leaves no agreeing chunk")
+      // the NARROWEST possible key (m smallest chunks) still spans enough
+      // bits to be sub-quadratic — the round-4 d=7 floor was 8-bit keys
+      val minKeyBits = widths.sorted.take(m).sum
+      assert(minKeyBits >= 16, s"d=$d keys span only $minKeyBits bits")
+      if (d >= 4) assert(minKeyBits >= 25, s"d=$d keys span only $minKeyBits bits")
+    }
+  }
+
   test("simhash combination-key blocking is lossless at the routed widths (d=3 and d=4)") {
     val corpus = withMutations(docs, 1).limit(300)
     val sigs = TextOps.withSimhash(corpus)
@@ -88,7 +102,9 @@ class OpsSpec extends AnyFunSuite {
         .select("doc_a", "doc_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     }
-    for (d <- Seq(3, 4)) { // d=3: 4×16-bit keys; d=4: C(8,4)=70 32-bit keys
+    // d=3: 4×16-bit keys; d=4..6: c=12 uneven 5/6-bit chunks, C(12,m)
+    // subsets of >= 25-bit keys (d=7 has its own brute-equality test above)
+    for (d <- Seq(3, 4, 5, 6)) {
       val blocked = TextOps.simhashPairs(corpus, maxDist = d)
         .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val truth = brute(d)
@@ -130,6 +146,63 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.999, s"recall@3 = $recall") // exactness params (d10 oracle)
+  }
+
+  test("ivf ANN on a NON-planted corpus: recall follows the nprobe knob to >= 0.9") {
+    // The real synthetic embeddings table is ISOTROPIC (mean pairwise cosine
+    // ~0, top-3 neighbor cosine ~0.34): the worst case for any cell-probed
+    // ANN, since a query's true neighbors correlate only weakly with its
+    // cell. The contract to certify is the recall/nprobe TRADEOFF — recall
+    // must rise monotonically with probes and reach 0.9 at nprobe ~ 0.64 ×
+    // nlist (numpy simulation of the same algorithm: 0.54@4, 0.77@8,
+    // 0.93@14 of nlist=22). Clustered corpora (the planted test below, and
+    // real embedding corpora) reach high recall at SMALL nprobe; isotropic
+    // ones pay probes — that knob is the production tuning surface.
+    val n = embeddings.count()
+    val nlist = math.max(4, math.sqrt(n.toDouble).round.toInt) // 22 at n=500
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = ids(VectorOps.bruteForceTopK(embeddings, 3))
+    val cents = VectorOps.ivfTrain(embeddings, nlist, iters = 2)
+    def recall(nprobe: Int): Double = {
+      val ivf = ids(VectorOps.ivfTopK(embeddings, 3, nprobe = nprobe,
+        centroids = Some(cents)))
+      (brute & ivf).size.toDouble / brute.size
+    }
+    val r4 = recall(4)
+    val r8 = recall(8)
+    val r14 = recall(14)
+    assert(r4 >= 0.4, s"recall@nprobe=4 = $r4")
+    assert(r8 >= r4 && r14 >= r8, s"recall not monotone in nprobe: $r4, $r8, $r14")
+    assert(r14 >= 0.9, s"recall@nprobe=14 (0.64×nlist) = $r14")
+  }
+
+  test("ivf training: empty cells re-seed; plan size constant across iterations") {
+    // 4 stride-init cells over 40 vectors where clusters 0 and 1 share ONE
+    // identical vector: every tied member goes to the LOWER cell, so cell 1
+    // gets zero members — without re-seeding it would vanish from the
+    // quantizer after one Lloyd iteration
+    val dim = 9
+    val vecs = spark.range(40).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j => {
+        val cl = when(floor(col("id") / 10) <= 1, lit(0L)).otherwise(floor(col("id") / 10))
+        val sgn = when(pmod(xxhash64(concat_ws("_", cl.cast("string"),
+          j.cast("string"))), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+        sgn.cast("float")
+      }).as("embedding"))
+    val trained = VectorOps.ivfTrain(vecs, nlist = 0, iters = 1, initStride = Some(10))
+    assert(trained.count() == 4, "empty cell must survive via re-seeding")
+    // the re-seeded cell keeps its previous centroid (identical to cell 0's)
+    val m = trained.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(m(1) == m(0))
+    // lineage truncation: plan size must not grow with iters (pre-fix, each
+    // iteration nested a full assign+regroup subtree)
+    val p2 = VectorOps.ivfTrain(vecs, nlist = 0, iters = 2, initStride = Some(10))
+      .queryExecution.analyzed.toString.length
+    val p6 = VectorOps.ivfTrain(vecs, nlist = 0, iters = 6, initStride = Some(10))
+      .queryExecution.analyzed.toString.length
+    assert(p6 <= p2 * 2, s"plan grew with iters: $p2 -> $p6")
   }
 
   test("ivf ANN: production path recovers planted clusters; stride init is exact") {
@@ -316,6 +389,51 @@ class OpsSpec extends AnyFunSuite {
     val raw = Multimodal.asMedia(docs.limit(3))
     val through = Multimodal.resizeImages(raw, 32, 32)
     assert(through.exceptAll(raw).isEmpty && raw.exceptAll(through).isEmpty)
+  }
+
+  test("a resized JPEG reports kind=image/png (payload was re-encoded)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val img = new java.awt.image.BufferedImage(64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val media = Seq((1L, bos.toByteArray, "image/jpeg")).toDF("doc_id", "media", "kind")
+    val out = Multimodal.resizeImages(media, 32, 32).collect()(0)
+    assert(out.getAs[String]("kind") == "image/png") // not the stale source MIME
+    assert(Multimodal.ImageIoDecoder.decode(Multimodal.MediaRow(1L,
+      out.getAs[Array[Byte]]("media"), "")).width == 32)
+    // an image already within the box keeps its payload AND its kind
+    val small = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(small, "jpg", bos2)
+    val kept = Multimodal.resizeImages(
+      Seq((2L, bos2.toByteArray, "image/jpeg")).toDF("doc_id", "media", "kind"),
+      32, 32).collect()(0)
+    assert(kept.getAs[String]("kind") == "image/jpeg")
+  }
+
+  test("corrupt framepacks degrade to parsed-prefix frames, never a task failure") {
+    val spark2 = spark
+    import spark2.implicits._
+    def be32(v: Int): Array[Byte] =
+      Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val frame = Array[Byte](1, 2, 3, 4, 5)
+    val ok = "FPK1".getBytes ++ be32(3) ++
+      be32(frame.length) ++ frame ++ be32(frame.length) ++ frame ++ be32(frame.length) ++ frame
+    val truncated = ok.dropRight(frame.length + 2)      // 3rd frame cut mid-payload
+    val negLen = "FPK1".getBytes ++ be32(2) ++
+      be32(frame.length) ++ frame ++ be32(-7) ++ frame   // negative length field
+    val overCount = "FPK1".getBytes ++ be32(99) ++ be32(frame.length) ++ frame
+    val media = Seq(
+      (0L, ok, "video/fpk"), (1L, truncated, "video/fpk"),
+      (2L, negLen, "video/fpk"), (3L, overCount, "video/fpk"))
+      .toDF("doc_id", "media", "kind")
+    val got = Multimodal.sampleFrames(media, 1).collect()
+      .groupBy(_.doc_id).view.mapValues(_.map(_.frame_idx).sorted.toSeq).toMap
+    assert(got(0L) == Seq(0, 1, 2))      // intact container: all frames
+    assert(got(1L) == Seq(0, 1))         // truncated: parsed prefix only
+    assert(got(2L) == Seq(0))            // negative length: stop before it
+    assert(got(3L) == Seq(0))            // count beyond buffer: stop at end
   }
 
   test("frame sampling: every k-th frame explodes to a decodable row") {
