@@ -498,15 +498,21 @@ object TextOps {
     * for any permitted maxDist, any chunk widths (the pigeonhole argument
     * never references widths).
     *
-    * Scale shape: random candidate pairs ≈ C(c,m) · n²/2^(key bits).
-    * d = 3 → 4 × 16-bit keys, n²/16,384. d = 7 → C(12,5) = 792 subsets of
-    * >= 25-bit keys, ~792·n²/2^25 ≈ n²/42,000 — the round-4 floor (c = 8,
-    * m = 1: 8 × 256 buckets, Θ(n²/64)) is closed; every permitted radius is
-    * now sub-quadratic. The price is key fan-out (up to C(12,6) = 924
-    * explode rows per doc at d = 6) — linear in n, id-only, and the Manku
-    * multi-table tradeoff by design. Near-identical pairs match many
-    * subsets; the id-only dropDuplicates absorbs the duplication before
-    * any payload re-attach.
+    * Scale shape: random candidate pairs ≈ C(c,m) · v²/2^(key bits) where
+    * v = DISTINCT simhash values, not docs: blocking runs DEDUP-FIRST over
+    * the distinct values, and value pairs expand to doc pairs afterwards
+    * (each doc has one value, so a doc pair materializes under exactly one
+    * value pair — no doc-level dedup pass at all). Identical-hash doc
+    * groups become hamming-0 cliques emitted directly from a value
+    * self-join — without this, every hamming-0 pair re-appears in ALL
+    * C(c,m) subsets (observed: 147k hamming-0 pairs × 792 subsets ≈ 10^8
+    * join rows on the self-similar bench corpus). d = 3 → 4 × 16-bit keys,
+    * v²/16,384. d = 7 → C(12,5) = 792 subsets of >= 25-bit keys — the
+    * round-4 floor (c = 8, m = 1: 8 × 256 buckets, Θ(n²/64)) is closed;
+    * every permitted radius is now sub-quadratic. The residual price is
+    * subset fan-out on the value table (up to C(12,6) = 924 explode rows
+    * per VALUE at d = 6) — linear in v and the Manku multi-table tradeoff
+    * by design.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     require(0 <= maxDist && maxDist <= 7,
@@ -528,29 +534,40 @@ object TextOps {
     val subsets: Seq[Seq[Int]] = (0 until c).combinations(m).map(_.toSeq).toSeq
     val widthsLit = typedlit(widths)
     val chunksCol = array((0 until c).map(chunk): _*)
-    val withSim = withSimhash(docs)
-    val blocked = withSim
-      .select(col("doc_id"), col("simhash"), chunksCol.as("chunks"),
-        posexplode(typedlit(subsets)))
-      .select(col("doc_id"), col("simhash"), col("pos").as("blk"),
+    val members = withSimhash(docs) // (doc_id, simhash)
+    // block over DISTINCT hash values — v can be far below n on real
+    // corpora (observed 4,921 values / 10,000 docs on the bench table)
+    val values = members.select("simhash").distinct()
+    val blocked = values
+      .select(col("simhash"), chunksCol.as("chunks"), posexplode(typedlit(subsets)))
+      .select(col("simhash"), col("pos").as("blk"),
         aggregate(col("col"), lit(0L), (acc, ci) =>
           call_function("shiftleft", acc, element_at(widthsLit, ci + 1))
             .bitwiseOR(element_at(col("chunks"), ci + 1))).as("blk_key"))
-    val a = blocked.select(col("blk"), col("blk_key"),
-      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val b = blocked.select(col("blk"), col("blk_key"),
-      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    val xorBits = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
-    // the blocked frame is n-scale and must never be a broadcast build side
+    val a = blocked.select(col("blk"), col("blk_key"), col("simhash").as("sim_a"))
+    val b = blocked.select(col("blk"), col("blk_key"), col("simhash").as("sim_b"))
+    // the blocked frame is v-scale and must never be a broadcast build side
     // — Catalyst's generator size estimate undercounts the up-to-924-way
     // explode (observed: a driver-OOM broadcast attempt at d>=4); pin a
     // shuffled hash join on the (blk, blk_key) equi-keys
-    a.hint("shuffle_hash").join(b, Seq("blk", "blk_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", xorBits)
+    val valuePairs = a.hint("shuffle_hash").join(b, Seq("blk", "blk_key"))
+      .filter(col("sim_a") < col("sim_b")) // any total order canonicalizes
+      .dropDuplicates("sim_a", "sim_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxDist)
-      .select("doc_a", "doc_b", "hamming")
+    // expand value pairs to doc pairs (uniqueness is structural: one value
+    // per doc), and add the intra-value hamming-0 cliques directly
+    val cross = valuePairs
+      .join(members.select(col("simhash").as("sim_a"), col("doc_id").as("id_a")), Seq("sim_a"))
+      .join(members.select(col("simhash").as("sim_b"), col("doc_id").as("id_b")), Seq("sim_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("hamming"))
+    val intra = members.select(col("simhash"), col("doc_id").as("doc_a"))
+      .join(members.select(col("simhash"), col("doc_id").as("doc_b")), Seq("simhash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        lit(0).cast(org.apache.spark.sql.types.IntegerType).as("hamming"))
+    cross.unionByName(intra)
   }
 
   /** SimHash-blocked near-dup with exact-Jaccard verification: simhash
