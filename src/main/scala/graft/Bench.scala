@@ -35,7 +35,7 @@ object Bench {
     "d5_langid", "d6_ngram_jaccard", "d7_minhash_lsh", "d8_simhash",
     "d9_ann_brute_topk", "d10_ann_lsh", "d11_embed_neardup", "d12_edit_distance",
     "d13_ann_lsh_prodparams", "d14_winnow_fp", "d15_simhash_prod", "d16_ann_ivf",
-    "d17_simhash_mid",
+    "d17_simhash_mid", "d18_minhash_incremental",
     "m1_media_meta", "m2_image_decode", "m3_audio_decode", "m4_image_resize",
     "m5_frame_sample", "g1_geo_clean", "a1_health_ewma", "s5_merge_compact",
     "crawl_extract_jobs", "crawl_rounds")
@@ -62,7 +62,7 @@ object Bench {
       "d6_ngram_jaccard", "d7_minhash_lsh", "d8_simhash", "d9_ann_brute_topk",
       "d10_ann_lsh", "d11_embed_neardup", "d13_ann_lsh_prodparams",
       "d14_winnow_fp", "d15_simhash_prod", "d16_ann_ivf", "d17_simhash_mid",
-      "crawl_extract_jobs", "crawl_rounds")
+      "d18_minhash_incremental", "crawl_extract_jobs", "crawl_rounds")
     val qreps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
 
     def median(xs: Seq[Double]): Double = {

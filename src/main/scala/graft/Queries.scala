@@ -286,6 +286,26 @@ object Queries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // INCREMENTAL near-dup — the per-round crawl shape: the original corpus
+    // is the accumulated history (its band index prebuilt, signatures never
+    // recomputed), the mutated docs are "this round's new pages", and the
+    // result is every >= 0.9 pair with at least one new side. The oracle is
+    // the same exact all-pairs Jaccard as d7 restricted to new-sided pairs,
+    // so a MATCH certifies index-join candidate generation loses nothing vs
+    // recomputing the whole corpus. Params mirror d7 (k=32, b=16 → miss
+    // ~3e-12 at J=0.9; cap 1024 >= sf0.01 union corpus → lossless).
+    "d18_minhash_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.select("doc_id", "text")
+      val fresh = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        array_join(slice(split(col("text"), " "), lit(1),
+          greatest(size(split(col("text"), " ")) - 3, lit(1))), " ").as("text"))
+      val index = graft.ops.TextOps.minhashBandIndex(old, k = 32, bands = 16)
+      graft.ops.TextOps.minhashLshIncremental(fresh, index, old,
+          k = 32, bands = 16, threshold = 0.9, maxBucketDocs = 1024)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "d9_ann_brute_topk" -> ((s, dir) => {
       graft.ops.VectorOps.bruteForceTopK(t(s, dir, "embeddings"), 3)
         .orderBy("query_id", "rank")
@@ -1025,6 +1045,28 @@ object Queries {
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // d7's exact all-pairs Jaccard restricted to pairs with a NEW side
+    // (doc_id >= 1000000 = this round's batch): the independent recompute
+    // ignores the index entirely, so a MATCH certifies the incremental
+    // index-join path equals a full-corpus rerun on the new-sided slice.
+    "d18_minhash_incremental" ->
+      """WITH uni AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      greatest(len(string_split(text, ' ')) - 3, 1)), ' ') AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM uni)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |    / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4) AS jaccard
+        |FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |    / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4) >= 0.9
+        |  AND b.doc_id >= 1000000
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Brute-force top-3 over the dumped planted-cluster vectors: a MATCH
     // certifies the PRODUCTION-parameter LSH path (nPlanes=4, nTables=8)

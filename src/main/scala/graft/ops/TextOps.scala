@@ -386,6 +386,75 @@ object TextOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Banded MinHash signature INDEX rows for [[minhashLshIncremental]]:
+    * one `(doc_id, band, band_sig)` row per document per band, computed
+    * exactly as [[minhashLsh]]'s candidate stage computes them. In
+    * production this is a parquet table maintained across crawl rounds
+    * (append each round's new docs) so incremental dedup never recomputes
+    * signatures for the accumulated corpus.
+    */
+  def minhashBandIndex(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
+    val rowsPerBand = k / bands
+    docs.select(col("doc_id"), minhashSignature(col("text"), k).as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
+          xxhash64(concat_ws("_",
+            slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")))))
+          .as(Seq("band", "band_sig")))
+  }
+
+  /** Incremental MinHash-LSH near-dup: all pairs `(doc_a, doc_b, jaccard)`
+    * with exact Jaccard >= `threshold` where AT LEAST ONE side is in
+    * `newDocs`, against a prebuilt [[minhashBandIndex]] of the accumulated
+    * old corpus. This is the 100 TB crawl shape: each round's new pages are
+    * deduped against the whole history, but per-round work stays
+    * proportional to the NEW batch — old signatures come from the index
+    * (never recomputed), old texts are touched only through a narrow
+    * `doc_id` equi-join on verified candidates.
+    *
+    * Semantics match batch [[minhashLsh]] over `oldDocs ∪ newDocs`
+    * restricted to pairs with a new side, including the hot-bucket cap,
+    * which counts the COMBINED (old + new) bucket population — a bucket
+    * that was hot in the old corpus stays dropped for new arrivals
+    * (OpsSpec asserts the batch-equivalence). `doc_id`s must be unique
+    * across both inputs (the crawl seen-set guarantees this); pairs are
+    * normalized to `doc_a < doc_b` without assuming new ids sort after old
+    * ones.
+    */
+  def minhashLshIncremental(newDocs: DataFrame, index: DataFrame,
+                            oldDocs: DataFrame, k: Int = 32, bands: Int = 8,
+                            threshold: Double = 0.5,
+                            maxBucketDocs: Int = 4096): DataFrame = {
+    val newBanded = minhashBandIndex(newDocs, k, bands)
+    // Cap over the combined bucket population, then require a new side:
+    // candidates = capped(old ∪ new) ⋈ capped-new on the bucket key. The
+    // exploded new side is small relative to the index — id-only rows,
+    // AQE/broadcast eligible.
+    val combined = capHotBuckets(
+      index.select("doc_id", "band", "band_sig").unionByName(newBanded),
+      Seq("band", "band_sig"), maxBucketDocs)
+    val newIds = newDocs.select(col("doc_id"))
+    val cappedNew = combined.join(newIds, Seq("doc_id"), "left_semi")
+    val a = combined.select(col("band"), col("band_sig"), col("doc_id").as("cand_a"))
+    val b = cappedNew.select(col("band"), col("band_sig"), col("doc_id").as("cand_b"))
+    val candidates = a.join(b, Seq("band", "band_sig"))
+      .filter(col("cand_a") =!= col("cand_b"))
+      .select(least(col("cand_a"), col("cand_b")).as("doc_a"),
+        greatest(col("cand_a"), col("cand_b")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val toks = oldDocs.select(col("doc_id"), col("text"))
+      .unionByName(newDocs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tk"))
+    val ta = toks.select(col("doc_id").as("doc_a"), col("tk").as("toks_a"))
+    val tb = toks.select(col("doc_id").as("doc_b"), col("tk").as("toks_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    val union = size(col("toks_a")) + size(col("toks_b")) - inter
+    candidates.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+      .withColumn("jaccard", round(inter.cast("double") / union, 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Winnowing k-gram hashes of a text column: xxhash64 of each k-char
     * substring (1-based positions; empty array when the text is shorter
     * than k). The guard keeps sequence() ascending.

@@ -130,6 +130,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("blk_key") && !plan.contains("chunk_val"), plan.take(2000))
   }
 
+  test("incremental minhash joins on band buckets and never recomputes index signatures") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val old = docs.select("doc_id", "text")
+    // the index arrives as a MATERIALIZED table (production: a parquet
+    // side table appended each round) — its signatures must not be
+    // recomputed from old text
+    val index = graft.ops.TextOps.minhashBandIndex(old, k = 32, bands = 16)
+    val fresh = docs.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val plan = planOf(graft.ops.TextOps.minhashLshIncremental(
+      fresh, index.localCheckpoint(true), old, k = 32, bands = 16, threshold = 0.9))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1500))
+    assert(plan.contains("band_sig"), plan.take(2000))
+    // the candidate stage is a self-join of (index ∪ newBanded) with its
+    // new-sided slice, so the NEW batch's signature explode subtree prints
+    // once per join branch = exactly 2 Generates. The invariant guarded
+    // here: the materialized index contributes ZERO explodes — if old-corpus
+    // signatures were recomputed from text, its explode would also appear in
+    // both branches and the count would be 4.
+    val generates = "(?m)^.*Generate posexplode".r.findAllIn(plan).size
+    assert(generates == 2, s"expected 2 new-batch signature explodes, saw $generates")
+  }
+
   test("d8 radius-7 path joins on 12-chunk combination keys (8-bit floor closed)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(graft.ops.TextOps.simhashPairs(docs, maxDist = 7))

@@ -126,6 +126,39 @@ class OpsSpec extends AnyFunSuite {
     assert(tiny.subsetOf(uncapped), "capping can only drop candidates, never invent")
   }
 
+  test("incremental minhash equals the batch run restricted to new-sided pairs") {
+    val old = docs.select("doc_id", "text")
+    val fresh = docs.select((col("doc_id") + 1000000).as("doc_id"),
+      array_join(slice(split(col("text"), " "), lit(1),
+        greatest(size(split(col("text"), " ")) - 3, lit(1))), " ").as("text"))
+    def toSet(df: DataFrame) = df.select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = toSet(TextOps.minhashLsh(old.unionByName(fresh),
+        k = 32, bands = 16, threshold = 0.9, maxBucketDocs = 1024)
+      .filter(col("doc_b") >= 1000000)) // new ids sort above old here
+    val index = TextOps.minhashBandIndex(old, k = 32, bands = 16)
+    val incr = toSet(TextOps.minhashLshIncremental(fresh, index, old,
+      k = 32, bands = 16, threshold = 0.9, maxBucketDocs = 1024))
+    assert(batch.nonEmpty)
+    assert(incr == batch,
+      s"incremental diverged: +${(incr -- batch).size} -${(batch -- incr).size}")
+  }
+
+  test("incremental minhash: new ids below old ids still pair (least/greatest normalization)") {
+    import spark.implicits._
+    val old = Seq((100L, "alpha beta gamma delta epsilon zeta"),
+                  (101L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val fresh = Seq((5L, "alpha beta gamma delta epsilon zeta"),
+                    (6L, "totally different payload here"))
+      .toDF("doc_id", "text")
+    val index = TextOps.minhashBandIndex(old, k = 32, bands = 16)
+    val pairs = TextOps.minhashLshIncremental(fresh, index, old,
+        k = 32, bands = 16, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs == Set((5L, 100L, 1.0)))
+  }
+
   test("lshParams meets the target miss probability at the call threshold") {
     for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
       val (b, r) = TextOps.lshParams(t)

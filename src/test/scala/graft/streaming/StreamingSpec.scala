@@ -67,4 +67,40 @@ class StreamingSpec extends AnyFunSuite {
     // candidates are job URLs, never listing URLs
     assert(!urls.exists(u => graft.frontier.Discovery.isListingUrl(u)))
   }
+
+  test("online simhash dedup equals the batch all-pairs result across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mutated = docs.select((col("doc_id") + 1000000).as("doc_id"),
+      array_join(slice(split(col("text"), " "), lit(1),
+        greatest(size(split(col("text"), " ")) - 1, lit(1))), " ").as("text"))
+    val uni = docs.select("doc_id", "text").unionByName(mutated)
+    val expected = graft.ops.TextOps.simhashPairs(uni, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val rows = uni.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingDedup.simhashPairsStream(
+        input.toDF().toDF("doc_id", "text"), maxDist = 3)
+      .writeStream.format("memory").queryName("simdup_stream")
+      .outputMode("append").start()
+    // originals arrive first, their mutations a micro-batch later — the
+    // cross-batch pairs exercise the state-store index, the in-batch pairs
+    // the same-batch path
+    input.addData(rows.filter(_._1 < 1000000))
+    out.processAllAvailable()
+    input.addData(rows.filter(_._1 >= 1000000))
+    out.processAllAvailable()
+
+    val got = spark.sql("SELECT doc_a, doc_b, hamming FROM simdup_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    out.stop()
+    assert(got.length == got.distinct.length, "a pair was emitted twice")
+    assert(got.toSet == expected,
+      s"streaming diverged from batch: +${(got.toSet -- expected).size} " +
+        s"-${(expected -- got.toSet).size} of ${expected.size}")
+  }
 }
