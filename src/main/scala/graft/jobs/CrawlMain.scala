@@ -83,7 +83,8 @@ object CrawlMain {
     val roundsJson = roundStats.map(s =>
       s"""{"round":${s.round},"frontier":${s.frontier},"scheduled":${s.scheduled},""" +
       s""""fetched":${s.fetched},"extracted":${s.extracted},"jobs":${s.jobs},""" +
-      s""""companies":${s.companies}}""").mkString("[", ",", "]")
+      s""""companies":${s.companies},"wall_sec":${f"${s.wallSec}%.1f"}}""")
+      .mkString("[", ",", "]")
     println(
       s"""{"metric":"urls_scheduled_extracted_per_sec","value":$urlsPerSec,""" +
       s""""unit":"urls/sec","wall_sec":$wallSec,"pages":$nPages,"cpus":"$cpus",""" +

@@ -27,7 +27,8 @@ object CrawlRound {
 
   final case class RoundStats(
       round: Int, frontier: Long, scheduled: Long, fetched: Long,
-      extracted: Long, jobs: Long, companies: Long, discovered: Long = 0L)
+      extracted: Long, jobs: Long, companies: Long, discovered: Long = 0L,
+      wallSec: Double = 0.0)
 
   /** @param writeLineage also persist the `rank_input` + `ordering` lineage
     *        tables (per-round crawl-order provenance and the independent-
@@ -45,6 +46,7 @@ object CrawlRound {
           nShards: Int = ShardedSeen.DefaultShards,
           writeLineage: Boolean = true): RoundStats = {
     import spark.implicits._
+    val roundT0 = System.nanoTime() // per-round wall: the Amdahl serial-fraction audit
 
     // One metadata-listing epoch per round: every state read below hits the
     // RoundState memo; commit() at round end re-invalidates. refresh() here
@@ -146,7 +148,8 @@ object CrawlRound {
         "fetched" -> 0L, "extracted" -> 0L, "discovered" -> 0L,
         "seen_total" -> seenCount, "seen_shards" -> effShards))
       pending.unpersist()
-      return RoundStats(round, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      return RoundStats(round, 0L, 0L, 0L, 0L, 0L, 0L, 0L,
+        (System.nanoTime() - roundT0) / 1e9)
     }
 
     // P3 cooling hosts excluded for this round only
@@ -329,6 +332,7 @@ object CrawlRound {
     extracted.unpersist()
     discovered.unpersist()
     RoundStats(round, frontierCount, scheduledCount, fetchedCount, extractedCount,
-      extractedCount, companiesCount, discoveredCount)
+      extractedCount, companiesCount, discoveredCount,
+      (System.nanoTime() - roundT0) / 1e9)
   }
 }

@@ -103,4 +103,69 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming diverged from batch: +${(got.toSet -- expected).size} " +
         s"-${(expected -- got.toSet).size} of ${expected.size}")
   }
+
+  test("online simhash dedup state survives a query restart (checkpoint recovery)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val ckpt = java.nio.file.Files.createTempDirectory("simdup_ckpt").toString
+    val sink = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long, Int)]()
+    val input = MemoryStream[(Long, String)]
+    def start() = StreamingDedup.simhashPairsStream(
+        input.toDF().toDF("doc_id", "text"), maxDist = 3)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[SimPair], _: Long) =>
+        batch.collect().foreach(p => sink.add((p.doc_a, p.doc_b, p.hamming)))
+        ()
+      }.start()
+
+    // run 1: the original corpus populates the state-store chunk index
+    val q1 = start()
+    input.addData(Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+                      (2L, "one two three four five six seven eight")))
+    q1.processAllAvailable(); q1.stop()
+    assert(sink.isEmpty, "no near-dups within the seed batch")
+
+    // run 2: a RESTARTED query (same checkpoint) must still know run 1's
+    // fingerprints — a near-identical doc arriving after the restart pairs
+    // with a doc indexed before it
+    val q2 = start()
+    input.addData(Seq((9L, "alpha beta gamma delta epsilon zeta eta theta")))
+    q2.processAllAvailable(); q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    assert(sink.asScala.map(p => (p._1, p._2)).toSet == Set((1L, 9L)),
+      s"cross-restart pair missing or wrong: ${sink.asScala.toSet}")
+  }
+
+  test("online simhash dedup runs on the RocksDB state store provider") {
+    // the scale claim: the fingerprint index lives in RocksDB on executors,
+    // not on-heap — same results, state size no longer bounded by heap
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, String)]
+      val out = StreamingDedup.simhashPairsStream(
+          input.toDF().toDF("doc_id", "text"), maxDist = 3)
+        .writeStream.format("memory").queryName("simdup_rocks")
+        .outputMode("append").start()
+      input.addData(Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+                        (2L, "one two three four five six seven eight")))
+      out.processAllAvailable()
+      input.addData(Seq((9L, "alpha beta gamma delta epsilon zeta eta theta")))
+      out.processAllAvailable()
+      val got = spark.sql("SELECT doc_a, doc_b FROM simdup_rocks")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      out.stop()
+      assert(got == Set((1L, 9L)), s"RocksDB-backed run diverged: $got")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
 }
