@@ -17,10 +17,18 @@ object OracleAux {
 
   val dir: String = "/root/repo/target/verify_aux"
 
-  /** Overwrite-dump a DataFrame as parquet under dir/name; returns path. */
+  /** Overwrite-dump a DataFrame as parquet under dir/name; returns path.
+    *
+    * `repartition(1)` (not `coalesce(1)`): coalesce folds the ENTIRE
+    * upstream computation into the single writing task — the dumped
+    * pipelines (simhash, k-gram hashing, PNG/WAV synthesis) were running
+    * one-core. A repartition keeps the upstream at full parallelism and
+    * only the (small) write is single-task; the oracle reads a `*.parquet`
+    * glob and always re-orders, so file layout is free to change.
+    */
   def dump(df: DataFrame, name: String): String = {
     val path = s"$dir/$name"
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    df.repartition(1).write.mode("overwrite").parquet(path)
     path
   }
 

@@ -47,7 +47,12 @@ object Queries {
         j.cast("string"))), lit(1000)).cast("double") / 1000.0 - 0.5) * 0.02
       (sgn + noise).cast("float")
     })
-    (t(s, dir, "embeddings").select(col("vec_id"), emb.as("embedding")), lastCl)
+    // fanned out (one-split scan) and materialized once: the synthetic
+    // vectors are referenced by the oracle dump AND several join sides of
+    // the consuming query — without the checkpoint each subtree re-hashes
+    // 2 strings per (row, dim)
+    (graft.ops.Par.fanOut(t(s, dir, "embeddings"), col("vec_id"))
+      .select(col("vec_id"), emb.as("embedding")).localCheckpoint(), lastCl)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -250,8 +255,13 @@ object Queries {
         array_join(slice(split(col("text"), " "), lit(1),
           greatest(size(split(col("text"), " ")) - 1, lit(1))), " ").as("text"))
       val uni = docs.select("doc_id", "text").unionByName(mutated)
-      OracleAux.dump(graft.ops.TextOps.withSimhash(uni), "d8_simhashes")
-      graft.ops.TextOps.simhashPairs(uni, maxDist = 7)
+      // compute the corpus simhash ONCE (fanned out, materialized), feed
+      // the same frame to the oracle dump and the pair join — identical
+      // bytes dumped, one hash pass instead of six
+      val members = graft.ops.TextOps
+        .withSimhash(graft.ops.Par.fanOut(uni, col("doc_id"))).localCheckpoint()
+      OracleAux.dump(members, "d8_simhashes")
+      graft.ops.TextOps.simhashPairsOf(members, maxDist = 7)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -265,8 +275,10 @@ object Queries {
         array_join(slice(split(col("text"), " "), lit(1),
           greatest(size(split(col("text"), " ")) - 1, lit(1))), " ").as("text"))
       val uni = docs.select("doc_id", "text").unionByName(mutated)
-      OracleAux.dump(graft.ops.TextOps.withSimhash(uni), "d15_simhashes")
-      graft.ops.TextOps.simhashPairs(uni, maxDist = 3)
+      val members = graft.ops.TextOps
+        .withSimhash(graft.ops.Par.fanOut(uni, col("doc_id"))).localCheckpoint()
+      OracleAux.dump(members, "d15_simhashes")
+      graft.ops.TextOps.simhashPairsOf(members, maxDist = 3)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -281,8 +293,10 @@ object Queries {
         array_join(slice(split(col("text"), " "), lit(1),
           greatest(size(split(col("text"), " ")) - 1, lit(1))), " ").as("text"))
       val uni = docs.select("doc_id", "text").unionByName(mutated)
-      OracleAux.dump(graft.ops.TextOps.withSimhash(uni), "d17_simhashes")
-      graft.ops.TextOps.simhashPairs(uni, maxDist = 5)
+      val members = graft.ops.TextOps
+        .withSimhash(graft.ops.Par.fanOut(uni, col("doc_id"))).localCheckpoint()
+      OracleAux.dump(members, "d17_simhashes")
+      graft.ops.TextOps.simhashPairsOf(members, maxDist = 5)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -383,9 +397,13 @@ object Queries {
     // the d8 pattern, since DuckDB has no xxhash64).
     "d14_winnow_fp" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      OracleAux.dump(docs.select(col("doc_id"),
-        graft.ops.TextOps.kgramHashes(col("text"), 8).as("grams")), "d14_grams")
-      graft.ops.TextOps.winnowFingerprints(docs, k = 8, w = 4)
+      // k-gram hashes computed ONCE (fanned out, materialized): the same
+      // frame feeds the oracle dump and the winnowing window pass
+      val grams = graft.ops.Par.fanOut(docs.select(col("doc_id"), col("text")), col("doc_id"))
+        .select(col("doc_id"), graft.ops.TextOps.kgramHashes(col("text"), 8).as("grams"))
+        .localCheckpoint()
+      OracleAux.dump(grams, "d14_grams")
+      graft.ops.TextOps.winnowFingerprintsFromGrams(grams, w = 4)
         .orderBy("doc_id", "fingerprint")
     }),
 
@@ -402,7 +420,10 @@ object Queries {
     // width/height parsed straight out of the IHDR chunk (bytes 17-24,
     // big-endian) of the dumped hex, fully independent of the JDK codec.
     "m2_image_decode" -> ((s, dir) => {
-      val media = graft.ops.Multimodal.syntheticPng(t(s, dir, "documents"))
+      // PNG synthesis fanned out and materialized ONCE — the dump and the
+      // decode below consume the same bytes instead of re-encoding twice
+      val media = graft.ops.Multimodal.syntheticPng(
+        graft.ops.Par.fanOut(t(s, dir, "documents"), col("doc_id"))).localCheckpoint()
       OracleAux.dump(media.select(col("doc_id"), hex(col("media")).as("h")), "m2_png")
       graft.ops.Multimodal.decodeMeta(media, graft.ops.Multimodal.ImageIoDecoder).toDF()
         .select("doc_id", "kind", "n_bytes", "width", "height")
@@ -415,7 +436,9 @@ object Queries {
     // and applies the same integer formula, so a MATCH certifies the whole
     // codec round trip produced exactly the computed geometry.
     "m4_image_resize" -> ((s, dir) => {
-      val media = graft.ops.Multimodal.syntheticPng(t(s, dir, "documents"))
+      // synthesized once (was re-encoded 3×: dump, orig decode, resize)
+      val media = graft.ops.Multimodal.syntheticPng(
+        graft.ops.Par.fanOut(t(s, dir, "documents"), col("doc_id"))).localCheckpoint()
       OracleAux.dump(media.select(col("doc_id"), hex(col("media")).as("h")), "m4_png")
       val dec = graft.ops.Multimodal.ImageIoDecoder
       val orig = graft.ops.Multimodal.decodeMeta(media, dec).toDF()
@@ -434,7 +457,8 @@ object Queries {
     // index set arithmetically.
     "m5_frame_sample" -> ((s, dir) => {
       import s.implicits._
-      val packs = graft.ops.Multimodal.syntheticFramepack(t(s, dir, "documents"))
+      val packs = graft.ops.Multimodal.syntheticFramepack(
+        graft.ops.Par.fanOut(t(s, dir, "documents"), col("doc_id"))).localCheckpoint()
       OracleAux.dump(packs.select(col("doc_id"),
         hex(substring(col("media"), 1, 40)).as("h")), "m5_fpk")
       graft.ops.Multimodal.sampleFrames(packs, 2).map { fr =>
@@ -452,7 +476,8 @@ object Queries {
     // channels LE16 at bytes 23-24, sample rate LE32 at 25-28, data-chunk
     // size LE32 at 41-44) — fully independent of the JDK codec.
     "m3_audio_decode" -> ((s, dir) => {
-      val media = graft.ops.Multimodal.syntheticWav(t(s, dir, "documents"))
+      val media = graft.ops.Multimodal.syntheticWav(
+        graft.ops.Par.fanOut(t(s, dir, "documents"), col("doc_id"))).localCheckpoint()
       OracleAux.dump(media.select(col("doc_id"), hex(col("media")).as("h")), "m3_wav")
       graft.ops.Multimodal.decodeAudioMeta(media).toDF()
         .select("doc_id", "kind", "n_bytes", "sample_rate", "channels", "n_frames")

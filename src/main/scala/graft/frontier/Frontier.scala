@@ -231,6 +231,17 @@ object Politeness {
     */
   val orderCols: Seq[Column] = Seq(col("priority").desc, col("canon_url").asc)
 
+  /** Frontier size (rows) below which [[selectBudget]] routes to the plain
+    * one-window ranking: the mega-host two-phase machinery (salted
+    * prefilter + range repartition + localCheckpoint + offset join — ~5
+    * driver barriers) only pays for itself when a single host's frontier
+    * slice outgrows one task. Parameterised for deployments
+    * (SPARK_GRAFT_SMALL_FRONTIER); the default keeps anything a single
+    * task comfortably sorts on the simple path.
+    */
+  val SmallFrontierRows: Long =
+    sys.env.getOrElse("SPARK_GRAFT_SMALL_FRONTIER", "2000000").toLong
+
   /** Select the per-host top-`budget` rows by priority, scalably.
     *
     * Naive `row_number over (partition by host)` funnels each mega-host into
@@ -239,17 +250,30 @@ object Politeness {
     * salt cannot be in the host's global top-budget, so this prefilter is
     * lossless); (2) exact rank over the ≤ saltFactor×budget survivors.
     * Adds `sched_rank` (1-based within host) to the selected rows.
+    *
+    * `sizeHint` (the caller's already-counted frontier size) routes SMALL
+    * rounds ([[SmallFrontierRows]]) onto a single plain window — the exact
+    * same rank by the same total order, minus the two-phase machinery whose
+    * fixed cost (range-partitioner sampling, localCheckpoint, offset join)
+    * dominated small-round wall-clock. Identical output either way.
     */
-  def selectBudget(frontier: DataFrame, saltFactor: Int = 32): DataFrame = {
-    val salted = frontier.withColumn("_salt", pmod(xxhash64(col("canon_url")), lit(saltFactor)))
-    val w1 = Window.partitionBy(col("host"), col("_salt"))
-      .orderBy(orderCols: _*)
-    val phase1 = salted
-      .withColumn("_r1", row_number().over(w1))
-      .filter(col("_r1") <= col("budget"))
-      .drop("_salt", "_r1")
-    rankWithinHost(phase1)
-      .filter(col("sched_rank") <= col("budget"))
+  def selectBudget(frontier: DataFrame, saltFactor: Int = 32,
+                   sizeHint: Option[Long] = None): DataFrame = {
+    if (sizeHint.exists(_ <= SmallFrontierRows)) {
+      val w = Window.partitionBy(col("host")).orderBy(orderCols: _*)
+      frontier.withColumn("sched_rank", row_number().over(w).cast("int"))
+        .filter(col("sched_rank") <= col("budget"))
+    } else {
+      val salted = frontier.withColumn("_salt", pmod(xxhash64(col("canon_url")), lit(saltFactor)))
+      val w1 = Window.partitionBy(col("host"), col("_salt"))
+        .orderBy(orderCols: _*)
+      val phase1 = salted
+        .withColumn("_r1", row_number().over(w1))
+        .filter(col("_r1") <= col("budget"))
+        .drop("_salt", "_r1")
+      rankWithinHost(phase1)
+        .filter(col("sched_rank") <= col("budget"))
+    }
   }
 
   /** Exact, fully parallel per-host ranking by the priority total order.

@@ -160,8 +160,10 @@ object CrawlRound {
       case None => pending
     }
 
-    // P1 window-ranked per-host budget (salted two-phase top-N)
-    val ranked = Politeness.selectBudget(cooled).cache()
+    // P1 window-ranked per-host budget (salted two-phase top-N; small
+    // rounds route to the plain one-window rank — frontierCount is already
+    // on hand and cooled ⊆ pending, so the hint is a sound upper bound)
+    val ranked = Politeness.selectBudget(cooled, sizeHint = Some(frontierCount)).cache()
     val rankedCount = ranked.count()
     // Broadcast-size guard: the fetch join broadcasts the selected frontier
     // (so html never shuffles), but Σ(host budgets) is unbounded in hosts.

@@ -106,15 +106,24 @@ object TextOps {
     else ngramJaccardLsh(docs, threshold)
   }
 
-  /** All-pairs-within-`source` exact path (small inputs only). */
+  /** All-pairs-within-`source` exact path (small inputs only), SALTED
+    * (guide §2.5 hot keys): `source` is low-cardinality, so the plain
+    * equi-join ran the whole n² verify in one task per source. Side a keeps
+    * a hash salt of its id, side b replicates across all S salts — each
+    * (a, b) pair meets exactly once (at a's salt), so the output is
+    * identical while the pair work spreads over sources × S tasks.
+    */
   def ngramJaccardExact(docs: DataFrame, threshold: Double): DataFrame = {
+    val s = docs.sparkSession.sparkContext.defaultParallelism
     val a = docs.select(col("source"), col("doc_id").as("doc_a"),
-      array_distinct(tokens(col("text"))).as("toks_a"))
+      array_distinct(tokens(col("text"))).as("toks_a"),
+      pmod(xxhash64(col("doc_id").cast("string")), lit(s)).cast("int").as("_sa"))
     val b = docs.select(col("source"), col("doc_id").as("doc_b"),
-      array_distinct(tokens(col("text"))).as("toks_b"))
+      array_distinct(tokens(col("text"))).as("toks_b"),
+      explode(sequence(lit(0), lit(s - 1))).as("_sa"))
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
     val union = size(col("toks_a")) + size(col("toks_b")) - inter
-    a.join(b, Seq("source"))
+    a.join(b, Seq("source", "_sa"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("jaccard", round(inter.cast("double") / union, 4))
       .filter(col("jaccard") >= threshold)
@@ -154,15 +163,24 @@ object TextOps {
     * those are template families, exactly what near-dup dedup drops anyway;
     * any cap >= corpus size is a no-op (lossless-below-cap, OpsSpec).
     * `maxBucketDocs <= 0` disables the cap.
+    *
+    * Mechanics (guide §2.3 "aggregate before you shuffle"): a partial-agg
+    * count per bucket (map-side combined — the shuffle carries one row per
+    * bucket per map task, never the banded rows), keep only the OVER-cap
+    * keys (the heavy-tail few the cap exists for), and broadcast-anti-join
+    * them away. The previous form ran `count() over (partition by bucket)` —
+    * a full shuffle + window pass of every banded row — per call.
     */
   private def capHotBuckets(banded: DataFrame, bucketCols: Seq[String],
                             maxBucketDocs: Int): DataFrame =
     if (maxBucketDocs <= 0) banded
-    else banded
-      .withColumn("_bucket_docs",
-        count(lit(1)).over(Window.partitionBy(bucketCols.map(col): _*)))
-      .filter(col("_bucket_docs") <= maxBucketDocs)
-      .drop("_bucket_docs")
+    else {
+      val hot = banded.groupBy(bucketCols.map(col): _*)
+        .agg(count(lit(1)).as("_bucket_docs"))
+        .filter(col("_bucket_docs") > maxBucketDocs)
+        .select(bucketCols.map(col): _*)
+      banded.join(broadcast(hot), bucketCols, "left_anti")
+    }
 
   /** The 100 TB path for [[ngramJaccard]]: MinHash banding with (bands,
     * rows) derived from the call's threshold via [[lshParams]] (low
@@ -177,28 +195,31 @@ object TextOps {
                       maxBucketDocs: Int = 4096): DataFrame = {
     val (bands, rows) = bandsRows.getOrElse(lshParams(threshold))
     val k = bands * rows
-    val sigs = docs.select(col("source"), col("doc_id"), col("text"),
-      minhashSignature(col("text"), k).as("sig"))
-    // id-only candidate pairs; texts re-attach post-dedup (see minhashLsh)
+    // staged signature pipeline (see [[bandedRows]]) with `source` riding
+    // along as the extra blocking key; checkpointed for the two-sided join
     val banded = capHotBuckets(
-      sigs.select(col("source"), col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
-          xxhash64(concat_ws("_",
-            slice(col("sig"), bnd * rows + 1, lit(rows)).cast("array<string>")))))
-          .as(Seq("band", "band_sig"))),
+      Par.fanOut(docs.select(col("source"), col("doc_id"), col("text")), col("doc_id"))
+        .select(col("source"), col("doc_id"), minhashBase(col("text")).as("_mh"))
+        .select(col("source"), col("doc_id"), minhashSigFromBase(col("_mh"), k).as("sig"))
+        .select(col("source"), col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
+            xxhash64(concat_ws("_",
+              slice(col("sig"), bnd * rows + 1, lit(rows)).cast("array<string>")))))
+            .as(Seq("band", "band_sig")))
+        .localCheckpoint(),
       Seq("source", "band", "band_sig"), maxBucketDocs)
     val a = banded.select(col("source"), col("band"), col("band_sig"),
       col("doc_id").as("doc_a"))
     val b = banded.select(col("source"), col("band"), col("band_sig"),
       col("doc_id").as("doc_b"))
-    val candidates = a.join(b, Seq("source", "band", "band_sig"))
+    val candidates = a.hint("shuffle_hash").join(b, Seq("source", "band", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("source", "doc_a", "doc_b")
       .dropDuplicates("source", "doc_a", "doc_b")
-    val ta = sigs.select(col("doc_id").as("doc_a"),
-      array_distinct(split(col("text"), " ")).as("toks_a"))
-    val tb = sigs.select(col("doc_id").as("doc_b"),
-      array_distinct(split(col("text"), " ")).as("toks_b"))
+    val toks = Par.fanOut(docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tk"))
+    val ta = toks.select(col("doc_id").as("doc_a"), col("tk").as("toks_a"))
+    val tb = toks.select(col("doc_id").as("doc_b"), col("tk").as("toks_b"))
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
     val union = size(col("toks_a")) + size(col("toks_b")) - inter
     candidates.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
@@ -221,13 +242,19 @@ object TextOps {
     else editDistancePairsSegmented(docs, maxDist, prefixLen)
   }
 
-  /** All-pairs-within-`source` exact path (small inputs only). */
+  /** All-pairs-within-`source` exact path (small inputs only), SALTED like
+    * [[ngramJaccardExact]] so the per-pair levenshtein work spreads over
+    * sources × S tasks instead of one task per source (output identical).
+    */
   def editDistancePairsExact(docs: DataFrame, maxDist: Int, prefixLen: Int): DataFrame = {
+    val s = docs.sparkSession.sparkContext.defaultParallelism
     val a = docs.select(col("source"), col("doc_id").as("doc_a"),
-      substring(col("text"), 1, prefixLen).as("pa"))
+      substring(col("text"), 1, prefixLen).as("pa"),
+      pmod(xxhash64(col("doc_id").cast("string")), lit(s)).cast("int").as("_sa"))
     val b = docs.select(col("source"), col("doc_id").as("doc_b"),
-      substring(col("text"), 1, prefixLen).as("pb"))
-    a.join(b, Seq("source"))
+      substring(col("text"), 1, prefixLen).as("pb"),
+      explode(sequence(lit(0), lit(s - 1))).as("_sa"))
+    a.join(b, Seq("source", "_sa"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("dist", levenshtein(col("pa"), col("pb")))
       .filter(col("dist") <= maxDist)
@@ -329,10 +356,37 @@ object TextOps {
 
   private val MinhashPrime = 2147483647L // 2^31 - 1 (keeps a*h + b < 2^63)
 
+  /** Per-token base hashes h(t) = xxhash64(t) mod (2^31-1) over the distinct
+    * whitespace tokens. Stage this as its OWN projected column before
+    * deriving the k-lane signature: higher-order functions evaluate their
+    * lambda body per element, so a signature expression that embeds this
+    * subtree re-tokenizes and re-hashes the text once PER LANE (k=32× the
+    * work — the same inlining trap [[winnowFingerprints]] documents).
+    */
+  private def minhashBase(text: Column): Column =
+    transform(array_distinct(split(text, " ")),
+      t => pmod(xxhash64(t), lit(MinhashPrime)))
+
+  /** k permutation-minima from a PRE-STAGED (bound-attribute) base-hash
+    * array: lane i is min over tokens of (h·(2i+1) + b_i) mod (2^31-1) with
+    * b_i = xxhash64(i) mod p — identical values to the historical inline
+    * form (the b_i literal constant-folds to the same hash).
+    */
+  private def minhashSigFromBase(base: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      val b = pmod(xxhash64(lit(i.toString)), lit(MinhashPrime))
+      array_min(transform(base, h => pmod(h * lit(2 * i + 1) + b, lit(MinhashPrime))))
+    }: _*)
+
   /** MinHash signature column: k permutation-hashes
     * h_i(t) = (a_i * h(t) + b_i) mod (2^31-1), minimum over tokens, where
     * h(t) = xxhash64(t) mod (2^31-1). Multipliers stay small so the product
     * never overflows a long (Spark 4 runs ANSI mode).
+    *
+    * NOTE: as a single expression the base-hash subtree is inlined into
+    * every lane (k× re-tokenization when evaluated). The operators below
+    * stage [[minhashBase]] as a separate projection instead; this form is
+    * kept as the reference formulation (OpsSpec asserts equivalence).
     */
   def minhashSignature(text: Column, k: Int): Column = {
     val base = transform(array_distinct(split(text, " ")),
@@ -344,6 +398,23 @@ object TextOps {
     })
   }
 
+  /** Banded `(doc_id, band, band_sig)` rows with the signature pipeline
+    * STAGED (tokens+base hashed once, k lanes from the bound base, band
+    * sigs from the bound lane array) and the scan fanned out to cluster
+    * parallelism. Shared by [[minhashLsh]] / [[minhashBandIndex]].
+    */
+  private def bandedRows(docs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    Par.fanOut(docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), minhashBase(col("text")).as("_mh"))
+      .select(col("doc_id"), minhashSigFromBase(col("_mh"), k).as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
+          xxhash64(concat_ws("_",
+            slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")))))
+          .as(Seq("band", "band_sig")))
+  }
+
   /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
     *
     * k signatures split into `bands` bands; docs sharing any band signature
@@ -352,32 +423,29 @@ object TextOps {
     */
   def minhashLsh(docs: DataFrame, k: Int = 32, bands: Int = 8,
                  threshold: Double = 0.5, maxBucketDocs: Int = 4096): DataFrame = {
-    val rowsPerBand = k / bands
-    val sigs = docs.select(col("doc_id"), col("text"),
-      minhashSignature(col("text"), k).as("sig"))
     // candidate generation is ID-ONLY: the bucket self-join explodes to
     // O(collisions) rows, and on a self-similar corpus that is the dominant
     // row count — 16-byte id pairs shuffle fine where rows carrying both
     // texts thrash (the round-3 bench finding). Texts re-attach AFTER the
     // pair dedup via two narrow doc_id equi-joins. Buckets above
     // maxBucketDocs are dropped ([[capHotBuckets]] — recall effect there).
+    // The banded rows are localCheckpointed: the self-join references the
+    // frame twice and would otherwise run the signature pipeline per side.
     val banded = capHotBuckets(
-      sigs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
-          xxhash64(concat_ws("_",
-            slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")))))
-          .as(Seq("band", "band_sig"))),
+      bandedRows(docs, k, bands).localCheckpoint(),
       Seq("band", "band_sig"), maxBucketDocs)
     val a = banded.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
-    val candidates = a.join(b, Seq("band", "band_sig"))
+    // equi-keyed id-only self-join: pin shuffled-hash (no sort needed; the
+    // build side is the capped banded frame, bounded per partition)
+    val candidates = a.hint("shuffle_hash").join(b, Seq("band", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    val ta = sigs.select(col("doc_id").as("doc_a"),
-      array_distinct(split(col("text"), " ")).as("toks_a"))
-    val tb = sigs.select(col("doc_id").as("doc_b"),
-      array_distinct(split(col("text"), " ")).as("toks_b"))
+    val toks = Par.fanOut(docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tk"))
+    val ta = toks.select(col("doc_id").as("doc_a"), col("tk").as("toks_a"))
+    val tb = toks.select(col("doc_id").as("doc_b"), col("tk").as("toks_b"))
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
     val union = size(col("toks_a")) + size(col("toks_b")) - inter
     candidates.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
@@ -393,15 +461,8 @@ object TextOps {
     * (append each round's new docs) so incremental dedup never recomputes
     * signatures for the accumulated corpus.
     */
-  def minhashBandIndex(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
-    val rowsPerBand = k / bands
-    docs.select(col("doc_id"), minhashSignature(col("text"), k).as("sig"))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
-          xxhash64(concat_ws("_",
-            slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")))))
-          .as(Seq("band", "band_sig")))
-  }
+  def minhashBandIndex(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame =
+    bandedRows(docs, k, bands)
 
   /** Incremental MinHash-LSH near-dup: all pairs `(doc_a, doc_b, jaccard)`
     * with exact Jaccard >= `threshold` where AT LEAST ONE side is in
@@ -425,25 +486,43 @@ object TextOps {
                             oldDocs: DataFrame, k: Int = 32, bands: Int = 8,
                             threshold: Double = 0.5,
                             maxBucketDocs: Int = 4096): DataFrame = {
-    val newBanded = minhashBandIndex(newDocs, k, bands)
-    // Cap over the combined bucket population, then require a new side:
-    // candidates = capped(old ∪ new) ⋈ capped-new on the bucket key. The
-    // exploded new side is small relative to the index — id-only rows,
-    // AQE/broadcast eligible.
-    val combined = capHotBuckets(
-      index.select("doc_id", "band", "band_sig").unionByName(newBanded),
-      Seq("band", "band_sig"), maxBucketDocs)
-    val newIds = newDocs.select(col("doc_id"))
-    val cappedNew = combined.join(newIds, Seq("doc_id"), "left_semi")
-    val a = combined.select(col("band"), col("band_sig"), col("doc_id").as("cand_a"))
-    val b = cappedNew.select(col("band"), col("band_sig"), col("doc_id").as("cand_b"))
-    val candidates = a.join(b, Seq("band", "band_sig"))
+    // signatures computed for the NEW batch only, materialized once (the
+    // frame feeds the count, the cap anti-join and the candidate join)
+    val newBanded = minhashBandIndex(newDocs, k, bands).localCheckpoint()
+    val idxRows = index.select("doc_id", "band", "band_sig")
+    val combinedRows = idxRows.unionByName(newBanded)
+    // Cap over the COMBINED (old + new) bucket population — same semantics
+    // as the batch path — but O(new batch) per round in shuffle terms:
+    // a partial-aggregated count per bucket (map-side combined; the shuffle
+    // carries one row per bucket per map task, never the index rows), then
+    // the few over-cap keys broadcast-anti-join away. The index is SCANNED
+    // but never re-shuffled or re-windowed. (The previous form re-windowed
+    // the full accumulated index every round — O(history) per round.)
+    val (aSide, bSide) =
+      if (maxBucketDocs <= 0) (combinedRows, newBanded)
+      else {
+        val hot = combinedRows.groupBy("band", "band_sig")
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > maxBucketDocs)
+          .select("band", "band_sig")
+          .localCheckpoint()
+        (combinedRows.join(broadcast(hot), Seq("band", "band_sig"), "left_anti"),
+         newBanded.join(broadcast(hot), Seq("band", "band_sig"), "left_anti"))
+      }
+    val a = aSide.select(col("band"), col("band_sig"), col("doc_id").as("cand_a"))
+    val b = bSide.select(col("band"), col("band_sig"), col("doc_id").as("cand_b"))
+    // candidate join: the NEW side (bounded by the round batch) broadcasts,
+    // so the index side streams through map-side — no index shuffle. A
+    // deployment whose rounds outgrow broadcast should store the band index
+    // bucketed by (band, band_sig) and drop the hint (the join then reuses
+    // the storage partitioning).
+    val candidates = a.join(broadcast(b), Seq("band", "band_sig"))
       .filter(col("cand_a") =!= col("cand_b"))
       .select(least(col("cand_a"), col("cand_b")).as("doc_a"),
         greatest(col("cand_a"), col("cand_b")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val toks = oldDocs.select(col("doc_id"), col("text"))
-      .unionByName(newDocs.select(col("doc_id"), col("text")))
+    val toks = Par.fanOut(oldDocs.select(col("doc_id"), col("text"))
+        .unionByName(newDocs.select(col("doc_id"), col("text"))), col("doc_id"))
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tk"))
     val ta = toks.select(col("doc_id").as("doc_a"), col("tk").as("toks_a"))
     val tb = toks.select(col("doc_id").as("doc_b"), col("tk").as("toks_b"))
@@ -475,18 +554,27 @@ object TextOps {
     * Pure Catalyst HOFs — whole-stage codegen, no UDF; linear per doc.
     * Output: one (doc_id, fingerprint) row per distinct kept hash.
     */
-  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
-    // STAGED projections: `grams` must be a bound attribute before the
-    // window transform references it, or Catalyst inlines the whole k-gram
-    // computation into EVERY slice() call — O(len²) per document instead of
-    // O(len·w) (CollapseProject keeps the stage split because the alias is
-    // non-cheap and multiply-referenced; caught live as a 100× bench hit)
-    val withGrams = docs.select(col("doc_id"), kgramHashes(col("text"), k).as("grams"))
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    winnowFingerprintsFromGrams(
+      Par.fanOut(docs.select(col("doc_id"), col("text")), col("doc_id"))
+        .select(col("doc_id"), kgramHashes(col("text"), k).as("grams")), w)
+
+  /** Winnowing from a PRE-COMPUTED `(doc_id, grams)` frame — callers that
+    * also persist the k-gram hashes (the d14 oracle dump) pass the same
+    * materialized frame so hashing runs once per query.
+    *
+    * STAGED projections: `grams` must be a bound attribute before the
+    * window transform references it, or Catalyst inlines the whole k-gram
+    * computation into EVERY slice() call — O(len²) per document instead of
+    * O(len·w) (CollapseProject keeps the stage split because the alias is
+    * non-cheap and multiply-referenced; caught live as a 100× bench hit)
+    */
+  def winnowFingerprintsFromGrams(grams: DataFrame, w: Int = 4): DataFrame = {
     val nw = size(col("grams")) - (w - 1)
     val mins = when(nw >= 1,
         transform(sequence(lit(1), nw), j => array_min(slice(col("grams"), j, lit(w)))))
       .otherwise(array().cast("array<bigint>"))
-    val withMins = withGrams.select(col("doc_id"), mins.as("mins"))
+    val withMins = grams.select(col("doc_id"), mins.as("mins"))
     withMins.select(col("doc_id"), explode(array_distinct(col("mins"))).as("fingerprint"))
   }
 
@@ -583,7 +671,17 @@ object TextOps {
     * per VALUE at d = 6) — linear in v and the Manku multi-table tradeoff
     * by design.
     */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    simhashPairsOf(
+      withSimhash(Par.fanOut(docs, col("doc_id"))).localCheckpoint(), maxDist)
+
+  /** [[simhashPairs]] from a PRE-MATERIALIZED `(doc_id, simhash)` frame.
+    * Callers that also persist the hashes (the d8/d15/d17 oracle dumps)
+    * pass the same localCheckpointed frame, so the corpus simhash is
+    * computed exactly once per query — the previous shape re-derived it in
+    * every one of the five subtrees that reference the members frame.
+    */
+  def simhashPairsOf(members: DataFrame, maxDist: Int): DataFrame = {
     require(0 <= maxDist && maxDist <= 7,
       "chunk-subset blocking covers maxDist <= 7 (use minhashLsh beyond)")
     val d = maxDist
@@ -603,7 +701,19 @@ object TextOps {
     val subsets: Seq[Seq[Int]] = (0 until c).combinations(m).map(_.toSeq).toSeq
     val widthsLit = typedlit(widths)
     val chunksCol = array((0 until c).map(chunk): _*)
-    val members = withSimhash(docs) // (doc_id, simhash)
+    // CANONICAL-SUBSET emission: a pair whose differing-chunk set is D
+    // (|D| <= d, since candidates agree on an m-chunk subset) appears in
+    // the bucket of EVERY subset disjoint from D — up to C(c-1, m) join
+    // rows per pair, which the previous `dropDuplicates(sim_a, sim_b)`
+    // shuffled wholesale (~10^8 rows on the d8 bench corpus). Instead keep
+    // a join row iff its subset is THE FIRST (in `subsets` order) disjoint
+    // from D — a 2^c-entry literal lookup indexed by the differ-chunk
+    // bitmask. Every near pair still appears (its canonical subset's
+    // bucket matched), now exactly once, so the dedup exchange disappears.
+    val canonical: Seq[Int] = (0 until (1 << c)).map { mask =>
+      subsets.indexWhere(s => s.forall(i => (mask & (1 << i)) == 0))
+    }
+    val canonicalLit = typedlit(canonical)
     // block over DISTINCT hash values — v can be far below n on real
     // corpora (observed 4,921 values / 10,000 docs on the bench table)
     val values = members.select("simhash").distinct()
@@ -615,13 +725,20 @@ object TextOps {
             .bitwiseOR(element_at(col("chunks"), ci + 1))).as("blk_key"))
     val a = blocked.select(col("blk"), col("blk_key"), col("simhash").as("sim_a"))
     val b = blocked.select(col("blk"), col("blk_key"), col("simhash").as("sim_b"))
+    val xorCol = col("sim_a").bitwiseXOR(col("sim_b"))
+    def chunkDiffers(i: Int): Column =
+      (call_function("shiftrightunsigned", xorCol, lit(offsets(i)))
+        .bitwiseAND(lit((1L << widths(i)) - 1)) =!= 0L)
+    val differMask = (0 until c)
+      .map(i => when(chunkDiffers(i), lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
     // the blocked frame is v-scale and must never be a broadcast build side
     // — Catalyst's generator size estimate undercounts the up-to-924-way
     // explode (observed: a driver-OOM broadcast attempt at d>=4); pin a
     // shuffled hash join on the (blk, blk_key) equi-keys
     val valuePairs = a.hint("shuffle_hash").join(b, Seq("blk", "blk_key"))
       .filter(col("sim_a") < col("sim_b")) // any total order canonicalizes
-      .dropDuplicates("sim_a", "sim_b")
+      .filter(col("blk") === element_at(canonicalLit, differMask + 1))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxDist)
     // expand value pairs to doc pairs (uniqueness is structural: one value

@@ -28,19 +28,28 @@ object VectorOps {
     * O(n²) pairs — correct-by-construction baseline; at scale the pair join
     * shuffles on nothing (cross join within broadcast of the smaller side).
     * Use [[lshTopK]] beyond ~10^5 vectors.
+    *
+    * Shape notes: the query side is hash-partitioned by `query_id` BEFORE
+    * the broadcast nested-loop join — (a) the n² loop then runs at cluster
+    * parallelism even off a one-split scan (guide §2.5), and (b) BNLJ
+    * preserves the streamed side's partitioning, so the top-k window's
+    * ClusteredDistribution(query_id) is already satisfied and the n² pair
+    * rows are NEVER shuffled (the window exchange disappears from the plan).
     */
   def bruteForceTopK(embeddings: DataFrame, k: Int = 3): DataFrame = {
     // norms precomputed ONCE per vector (not per pair — 3x less HOF work in
     // the n² stage; sqrt(dot(v,v)) is the same op sequence, so the rounded
     // cosine is bit-identical to the inline form the oracle recomputes)
-    val a = embeddings.select(col("vec_id").as("query_id"),
-      toDouble(col("embedding")).as("va"))
-      .withColumn("na", norm(col("va")))
+    val a = Par.fanOut(
+      embeddings.select(col("vec_id").as("query_id"),
+        toDouble(col("embedding")).as("va"))
+        .withColumn("na", norm(col("va"))), col("query_id"))
     val b = embeddings.select(col("vec_id").as("neighbor_id"),
       toDouble(col("embedding")).as("vb"))
       .withColumn("nb", norm(col("vb")))
-    val pairs = a.join(b, col("query_id") =!= col("neighbor_id"))
+    val pairs = a.join(broadcast(b), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .select("query_id", "neighbor_id", "cos")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))
@@ -74,6 +83,53 @@ object VectorOps {
     bits.reduce(_ + _)
   }
 
+  /** [[planeSign]] evaluated at PLAN-BUILD time: the same Catalyst XxHash64
+    * (seed 42) over the same "plane:dim" string the column expression
+    * hashes, so the sign matrix is bit-identical to [[lshBucketAt]]'s —
+    * but paid once per (plane, dim) instead of once per (row, plane, dim)
+    * string-concat + hash (guide §1.2 per-task work).
+    */
+  private[graft] def planeSignValue(p: Int, d: Int): Double = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$p:$d"),
+        org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+    if (java.lang.Math.floorMod(h, 2L) == 0L) 1.0 else -1.0
+  }
+
+  /** All `nTables` LSH table assignments in ONE scan: a literal ±1 sign
+    * matrix (rows = planes, evaluated at the probed embedding dim), one
+    * staged array of all plane dot products per vector, then per-table
+    * buckets exploded with posexplode. Replaces the nTables-way
+    * union-of-scans (each re-reading the input and re-hashing a
+    * "plane:dim" string per element) — bucket values are bit-identical to
+    * [[lshBucketAt]] because the sign values and the fold order match
+    * (OpsSpec asserts the equivalence). Assumes the uniform embedding dim
+    * of an embeddings table (probed from one row).
+    */
+  private[graft] def lshTables(embeddings: DataFrame, nPlanes: Int,
+                               nTables: Int): DataFrame = {
+    val dim = embeddings.select(size(col("embedding")).as("d"))
+      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    val total = nPlanes * nTables
+    val signs: Seq[Seq[Double]] =
+      (0 until total).map(p => (0 until dim).map(d => planeSignValue(p, d)))
+    val signsLit = typedlit(signs)
+    val dots = transform(sequence(lit(0), lit(total - 1)), p =>
+      aggregate(zip_with(col("embedding"), element_at(signsLit, p + 1),
+        (x, sgn) => x.cast("double") * sgn), lit(0.0), (acc, x) => acc + x))
+    val staged = Par.fanOut(embeddings.select(col("vec_id"), col("embedding")),
+        col("vec_id"))
+      .select(col("vec_id"), dots.as("_dots"))
+    val buckets = transform(sequence(lit(0), lit(nTables - 1)), t =>
+      (0 until nPlanes).map(q =>
+        when(element_at(col("_dots"), t * nPlanes + q + 1) >= 0, lit(1L << q))
+          .otherwise(lit(0L)))
+        .reduce(_ + _))
+    staged.select(col("vec_id"), posexplode(buckets).as(Seq("table", "bucket")))
+  }
+
   /** LSH-bucketed approximate top-k: exact cosine *within* each bucket.
     * Multi-probe via `nTables` independent sign-LSH tables keeps recall up;
     * the join key (table, bucket) bounds the pair blow-up. This is the IVF-
@@ -81,11 +137,8 @@ object VectorOps {
     */
   def lshTopK(embeddings: DataFrame, k: Int = 3, nPlanes: Int = 4,
               nTables: Int = 8): DataFrame = {
-    val tables = (0 until nTables).map { t =>
-      embeddings.select(col("vec_id"), col("embedding"),
-        lit(t).as("table"),
-        lshBucketAt(col("embedding"), nPlanes, planeOffset = t * nPlanes).as("bucket"))
-    }.reduce(_ unionByName _)
+    // one-scan multi-table assignment, materialized once for the self-join
+    val tables = lshTables(embeddings, nPlanes, nTables).localCheckpoint()
     // id-only bucket join; vectors + precomputed norms re-attach after the
     // pair dedup (bucket collisions dominate the row count — see TextOps)
     val a = tables.select(col("table"), col("bucket"), col("vec_id").as("query_id"))
@@ -94,11 +147,14 @@ object VectorOps {
       toDouble(col("embedding")).as("va")).withColumn("na", norm(col("va")))
     val vb = embeddings.select(col("vec_id").as("neighbor_id"),
       toDouble(col("embedding")).as("vb")).withColumn("nb", norm(col("vb")))
-    val pairs = a.join(b, Seq("table", "bucket"))
+    // vb joins before va so the (AQE-chosen) last equi-join keys on
+    // query_id — when it shuffles, its output partitioning already
+    // satisfies the window's distribution
+    val pairs = a.hint("shuffle_hash").join(b, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-      .join(va, Seq("query_id")).join(vb, Seq("neighbor_id"))
+      .join(vb, Seq("neighbor_id")).join(va, Seq("query_id"))
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -173,7 +229,8 @@ object VectorOps {
     * assignment; queries probe more cells to hedge boundary effects.
     */
   def ivfAssign(embeddings: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
-    val scored = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val scored = Par.fanOut(
+        embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v")), col("vec_id"))
       .crossJoin(broadcast(centroids))
       .withColumn("_cos", dot(col("v"), col("centroid")) / (norm(col("v")) * norm(col("centroid"))))
     if (nprobe == 1)
@@ -231,10 +288,13 @@ object VectorOps {
     * correct-by-construction, O(n²) — the oracle path for small inputs only.
     */
   def cosineNearDupExact(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("vec_a"), toDouble(col("embedding")).as("va"))
-      .withColumn("na", norm(col("va")))
-    val b = embeddings.select(col("vec_id").as("vec_b"), toDouble(col("embedding")).as("vb"))
-      .withColumn("nb", norm(col("vb")))
+    // streamed side fanned out so the n² loop runs wide off a one-split
+    // scan; the other side broadcasts (it is the small-input path)
+    val a = Par.fanOut(
+      embeddings.select(col("vec_id").as("vec_a"), toDouble(col("embedding")).as("va"))
+        .withColumn("na", norm(col("va"))), col("vec_a"))
+    val b = broadcast(embeddings.select(col("vec_id").as("vec_b"), toDouble(col("embedding")).as("vb"))
+      .withColumn("nb", norm(col("vb"))))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
@@ -250,18 +310,14 @@ object VectorOps {
     */
   def cosineNearDupLsh(embeddings: DataFrame, threshold: Double,
                        nPlanes: Int = 2, nTables: Int = 32): DataFrame = {
-    val tables = (0 until nTables).map { t =>
-      embeddings.select(col("vec_id"), col("embedding"),
-        lit(t).as("table"),
-        lshBucketAt(col("embedding"), nPlanes, planeOffset = t * nPlanes).as("bucket"))
-    }.reduce(_ unionByName _)
+    val tables = lshTables(embeddings, nPlanes, nTables).localCheckpoint()
     val a = tables.select(col("table"), col("bucket"), col("vec_id").as("vec_a"))
     val b = tables.select(col("table"), col("bucket"), col("vec_id").as("vec_b"))
     val va = embeddings.select(col("vec_id").as("vec_a"),
       toDouble(col("embedding")).as("va")).withColumn("na", norm(col("va")))
     val vb = embeddings.select(col("vec_id").as("vec_b"),
       toDouble(col("embedding")).as("vb")).withColumn("nb", norm(col("vb")))
-    a.join(b, Seq("table", "bucket"))
+    a.hint("shuffle_hash").join(b, Seq("table", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
       .dropDuplicates("vec_a", "vec_b")

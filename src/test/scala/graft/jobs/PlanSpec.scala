@@ -143,14 +143,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan.take(1500))
     assert(plan.contains("band_sig"), plan.take(2000))
-    // the candidate stage is a self-join of (index ∪ newBanded) with its
-    // new-sided slice, so the NEW batch's signature explode subtree prints
-    // once per join branch = exactly 2 Generates. The invariant guarded
-    // here: the materialized index contributes ZERO explodes — if old-corpus
-    // signatures were recomputed from text, its explode would also appear in
-    // both branches and the count would be 4.
+    // the NEW batch's banded rows are materialized ONCE (localCheckpoint)
+    // and every consumer (cap count, cap anti-join, candidate join) reads
+    // the materialized rows — so the candidate plan contains ZERO signature
+    // explodes: neither the index nor the new batch re-derives signatures
+    // from text. (Before round 6 the new side's explode printed once per
+    // join branch = 2; an index recompute would have shown 4.)
     val generates = "(?m)^.*Generate posexplode".r.findAllIn(plan).size
-    assert(generates == 2, s"expected 2 new-batch signature explodes, saw $generates")
+    assert(generates == 0,
+      s"expected 0 signature explodes (new batch materialized once), saw $generates")
+    // r5-verdict ask #1: the per-round candidate join must not re-shuffle
+    // the accumulated index — the NEW side broadcasts, the index streams
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
   test("d8 radius-7 path joins on 12-chunk combination keys (8-bit floor closed)") {

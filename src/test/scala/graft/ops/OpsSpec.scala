@@ -496,6 +496,45 @@ class OpsSpec extends AnyFunSuite {
     frames.unpersist()
   }
 
+  test("r6: one-scan literal-sign LSH tables are bit-identical to per-table lshBucketAt") {
+    // the round-6 rewrite precomputes the ±1 plane-sign matrix at plan-build
+    // time and derives every table's bucket in one scan; bucket assignments
+    // must match the historical per-table union of lshBucketAt exactly
+    val (nPlanes, nTables) = (3, 5)
+    val reference = (0 until nTables).map { t =>
+      embeddings.select(col("vec_id"), lit(t).as("table"),
+        VectorOps.lshBucketAt(col("embedding"), nPlanes, planeOffset = t * nPlanes).as("bucket"))
+    }.reduce(_ unionByName _)
+    val fast = VectorOps.lshTables(embeddings, nPlanes, nTables)
+      .select("vec_id", "table", "bucket")
+    assert(fast.exceptAll(reference).isEmpty && reference.exceptAll(fast).isEmpty)
+  }
+
+  test("r6: staged minhash band index equals the inline-signature formulation") {
+    // the staged pipeline (tokens hashed once, lanes from the bound base)
+    // must produce the same (doc_id, band, band_sig) rows as the reference
+    // single-expression signature
+    val (k, bands) = (32, 16)
+    val rowsPerBand = k / bands
+    val reference = docs.select(col("doc_id"),
+        TextOps.minhashSignature(col("text"), k).as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
+          xxhash64(concat_ws("_",
+            slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")))))
+          .as(Seq("band", "band_sig")))
+    val fast = TextOps.minhashBandIndex(docs.select("doc_id", "text"), k, bands)
+    assert(fast.exceptAll(reference).isEmpty && reference.exceptAll(fast).isEmpty)
+  }
+
+  test("r6: canonical-subset simhash emission has no duplicate value pairs") {
+    // the dedup-free join emits each near pair from exactly ONE subset —
+    // duplicates would double doc pairs downstream
+    val corpus = withMutations(docs, 1)
+    val pairs = TextOps.simhashPairs(corpus, maxDist = 6)
+    assert(pairs.groupBy("doc_a", "doc_b").count().filter(col("count") > 1).isEmpty)
+  }
+
   test("multimodal stub: schema, determinism, and byte metadata") {
     val meta = Multimodal.decodeMeta(Multimodal.asMedia(docs)).toDF().cache()
     assert(meta.count() == docs.count())
