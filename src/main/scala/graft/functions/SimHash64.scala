@@ -101,9 +101,14 @@ object SimHash64 {
   * fallback used by the library itself).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(SimHash64.functionName),
       new ExpressionInfo(classOf[SimHash64].getName, SimHash64.functionName),
       (exprs: Seq[Expression]) => SimHash64.build(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier(SimhashSubsetKeys.functionName),
+      new ExpressionInfo(classOf[SimhashSubsetKeys].getName, SimhashSubsetKeys.functionName),
+      (exprs: Seq[Expression]) => SimhashSubsetKeys.build(exprs)))
+  }
 }

@@ -209,7 +209,9 @@ object CrawlRound {
     val extracted = ExtractJob.extractPages(fetched).toDF().cache()
     val discovered = graft.frontier.Discovery.fromExtracted(extracted, categoryLimit).cache()
 
-    val pool = Executors.newFixedThreadPool(8)
+    // pool sized to the concurrent write batch below (~14 one-task jobs on
+    // small rounds): at 8 threads the writes ran in two waves
+    val pool = Executors.newFixedThreadPool(16)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     // the discovered count joins the concurrent batch (it is only needed at
     // commit time — one fewer serial driver barrier per round)
@@ -286,35 +288,46 @@ object CrawlRound {
     // above) — submit them as concurrent Spark jobs and await the batch.
     // Wall-clock becomes the slowest single write instead of the sum of
     // ~10 small sequential jobs.
+    //
+    // SMALL-ROUND file sizing (guide §6 small files): every delta frame
+    // still carries the 32 shuffle/cache partitions of its lineage, so each
+    // of the ~14 writes was emitting 32 near-empty files — ~450 task
+    // launches + file commits per round, the dominant round cost at small
+    // frontier sizes (measured 1.9 s/round of 2.4 s total). Rounds below
+    // the small-frontier bound coalesce each delta to ONE file; the inputs
+    // are cached/counted already, so the single write task only drains the
+    // cache. Large rounds keep full write parallelism.
+    def sized(df: DataFrame): DataFrame =
+      if (frontierCount <= Politeness.SmallFrontierRows) df.coalesce(1) else df
     val writes = Seq(
-      Future { state.writeDelta("discovered", round, discovered) },
-      Future { state.writeDelta("out_jobs", round, ExtractJob.jobs(extracted)) },
-      Future { state.writeDelta("out_companies", round, ExtractJob.companies(extracted)) },
-      Future { state.writeDelta("out_locations", round, ExtractJob.locations(extracted)) },
-      Future { state.writeDelta("out_skills", round, ExtractJob.skills(extracted)) },
-      Future { state.writeDelta("out_junction", round, ExtractJob.junction(extracted)) },
+      Future { state.writeDelta("discovered", round, sized(discovered)) },
+      Future { state.writeDelta("out_jobs", round, sized(ExtractJob.jobs(extracted))) },
+      Future { state.writeDelta("out_companies", round, sized(ExtractJob.companies(extracted))) },
+      Future { state.writeDelta("out_locations", round, sized(ExtractJob.locations(extracted))) },
+      Future { state.writeDelta("out_skills", round, sized(ExtractJob.skills(extracted))) },
+      Future { state.writeDelta("out_junction", round, sized(ExtractJob.junction(extracted))) },
       // S7 quarantine: schema-invalid rows, persisted for drift monitoring
       // (mirrors validator._save_sample; rows still land in out_jobs, as the
       // reference persists regardless of validation)
       Future { state.writeDelta("quarantine", round,
-        extracted.filter(col("extract_ok") && !col("job_valid"))
-          .select("platform", "canon_url", "source_id", "title")) },
+        sized(extracted.filter(col("extract_ok") && !col("job_valid"))
+          .select("platform", "canon_url", "source_id", "title"))) },
       // seen delta: everything scheduled this round (budget spent once/URL)
-      Future { state.writeDelta("seen", round, seenDelta) },
+      Future { state.writeDelta("seen", round, sized(seenDelta)) },
       Future { state.writeDelta(ShardedSeen.Table, round, newShards.toDF()) },
-      Future { state.writeDelta("crawled", round, doneCategories) },
-      Future { state.writeDelta("metrics", round, metrics) },
+      Future { state.writeDelta("crawled", round, sized(doneCategories)) },
+      Future { state.writeDelta("metrics", round, sized(metrics)) },
       // P7 circuit breaker: hosts whose external-failure (429) count trips
       // the reference's threshold cool for the recovery window; expiry is
       // the half-open probe (circuit_breaker.py semantics at round grain)
       Future { state.writeDelta("cooling", round,
-        CircuitBreaker.trips(metrics, round, roundSeconds)) }) ++
+        sized(CircuitBreaker.trips(metrics, round, roundSeconds))) }) ++
       (if (writeLineage) Seq(
-        Future { state.writeDelta("rank_input", round, rankInput) },
+        Future { state.writeDelta("rank_input", round, sized(rankInput)) },
         // crawl ordering lineage: (round, host, sched_rank, canon_url, kind)
         Future { state.writeDelta("ordering", round,
-          selected.select(lit(round).as("round"), col("host"), col("sched_rank"),
-            col("canon_url"), col("platform"), col("category_id"), col("fetch_kind"))) })
+          sized(selected.select(lit(round).as("round"), col("host"), col("sched_rank"),
+            col("canon_url"), col("platform"), col("category_id"), col("fetch_kind")))) })
        else Nil)
     val discoveredCount =
       try {

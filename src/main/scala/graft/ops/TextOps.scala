@@ -106,24 +106,21 @@ object TextOps {
     else ngramJaccardLsh(docs, threshold)
   }
 
-  /** All-pairs-within-`source` exact path (small inputs only), SALTED
-    * (guide §2.5 hot keys): `source` is low-cardinality, so the plain
-    * equi-join ran the whole n² verify in one task per source. Side a keeps
-    * a hash salt of its id, side b replicates across all S salts — each
-    * (a, b) pair meets exactly once (at a's salt), so the output is
-    * identical while the pair work spreads over sources × S tasks.
+  /** All-pairs-within-`source` exact path (small inputs only): the build
+    * side broadcasts (it fits by the routing bound), the STREAMED side is
+    * fanned out — `source` is low-cardinality, so without the repartition
+    * the whole n² verify ran inside the one scan task (guide §2.5 input
+    * skew). Pair work now spreads across the streamed partitions; output
+    * unchanged.
     */
   def ngramJaccardExact(docs: DataFrame, threshold: Double): DataFrame = {
-    val s = docs.sparkSession.sparkContext.defaultParallelism
-    val a = docs.select(col("source"), col("doc_id").as("doc_a"),
-      array_distinct(tokens(col("text"))).as("toks_a"),
-      pmod(xxhash64(col("doc_id").cast("string")), lit(s)).cast("int").as("_sa"))
-    val b = docs.select(col("source"), col("doc_id").as("doc_b"),
-      array_distinct(tokens(col("text"))).as("toks_b"),
-      explode(sequence(lit(0), lit(s - 1))).as("_sa"))
+    val a = Par.fanOut(docs.select(col("source"), col("doc_id").as("doc_a"),
+      array_distinct(tokens(col("text"))).as("toks_a")), col("doc_a"))
+    val b = broadcast(docs.select(col("source"), col("doc_id").as("doc_b"),
+      array_distinct(tokens(col("text"))).as("toks_b")))
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
     val union = size(col("toks_a")) + size(col("toks_b")) - inter
-    a.join(b, Seq("source", "_sa"))
+    a.join(b, Seq("source"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("jaccard", round(inter.cast("double") / union, 4))
       .filter(col("jaccard") >= threshold)
@@ -195,17 +192,14 @@ object TextOps {
                       maxBucketDocs: Int = 4096): DataFrame = {
     val (bands, rows) = bandsRows.getOrElse(lshParams(threshold))
     val k = bands * rows
-    // staged signature pipeline (see [[bandedRows]]) with `source` riding
+    // native banded signatures (see [[bandedRows]]) with `source` riding
     // along as the extra blocking key; checkpointed for the two-sided join
+    graft.functions.MinhashBandSigs.ensureRegistered(docs.sparkSession)
     val banded = capHotBuckets(
       Par.fanOut(docs.select(col("source"), col("doc_id"), col("text")), col("doc_id"))
-        .select(col("source"), col("doc_id"), minhashBase(col("text")).as("_mh"))
-        .select(col("source"), col("doc_id"), minhashSigFromBase(col("_mh"), k).as("sig"))
         .select(col("source"), col("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
-            xxhash64(concat_ws("_",
-              slice(col("sig"), bnd * rows + 1, lit(rows)).cast("array<string>")))))
-            .as(Seq("band", "band_sig")))
+          posexplode(call_function(graft.functions.MinhashBandSigs.functionName,
+            col("text"), lit(k), lit(bands))).as(Seq("band", "band_sig")))
         .localCheckpoint(),
       Seq("source", "band", "band_sig"), maxBucketDocs)
     val a = banded.select(col("source"), col("band"), col("band_sig"),
@@ -242,19 +236,17 @@ object TextOps {
     else editDistancePairsSegmented(docs, maxDist, prefixLen)
   }
 
-  /** All-pairs-within-`source` exact path (small inputs only), SALTED like
-    * [[ngramJaccardExact]] so the per-pair levenshtein work spreads over
-    * sources × S tasks instead of one task per source (output identical).
+  /** All-pairs-within-`source` exact path (small inputs only): broadcast
+    * build side + fanned-out streamed side like [[ngramJaccardExact]], so
+    * the per-pair levenshtein work spreads across the streamed partitions
+    * instead of one task per source (output identical).
     */
   def editDistancePairsExact(docs: DataFrame, maxDist: Int, prefixLen: Int): DataFrame = {
-    val s = docs.sparkSession.sparkContext.defaultParallelism
-    val a = docs.select(col("source"), col("doc_id").as("doc_a"),
-      substring(col("text"), 1, prefixLen).as("pa"),
-      pmod(xxhash64(col("doc_id").cast("string")), lit(s)).cast("int").as("_sa"))
-    val b = docs.select(col("source"), col("doc_id").as("doc_b"),
-      substring(col("text"), 1, prefixLen).as("pb"),
-      explode(sequence(lit(0), lit(s - 1))).as("_sa"))
-    a.join(b, Seq("source", "_sa"))
+    val a = Par.fanOut(docs.select(col("source"), col("doc_id").as("doc_a"),
+      substring(col("text"), 1, prefixLen).as("pa")), col("doc_a"))
+    val b = broadcast(docs.select(col("source"), col("doc_id").as("doc_b"),
+      substring(col("text"), 1, prefixLen).as("pb")))
+    a.join(b, Seq("source"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("dist", levenshtein(col("pa"), col("pb")))
       .filter(col("dist") <= maxDist)
@@ -356,28 +348,6 @@ object TextOps {
 
   private val MinhashPrime = 2147483647L // 2^31 - 1 (keeps a*h + b < 2^63)
 
-  /** Per-token base hashes h(t) = xxhash64(t) mod (2^31-1) over the distinct
-    * whitespace tokens. Stage this as its OWN projected column before
-    * deriving the k-lane signature: higher-order functions evaluate their
-    * lambda body per element, so a signature expression that embeds this
-    * subtree re-tokenizes and re-hashes the text once PER LANE (k=32× the
-    * work — the same inlining trap [[winnowFingerprints]] documents).
-    */
-  private def minhashBase(text: Column): Column =
-    transform(array_distinct(split(text, " ")),
-      t => pmod(xxhash64(t), lit(MinhashPrime)))
-
-  /** k permutation-minima from a PRE-STAGED (bound-attribute) base-hash
-    * array: lane i is min over tokens of (h·(2i+1) + b_i) mod (2^31-1) with
-    * b_i = xxhash64(i) mod p — identical values to the historical inline
-    * form (the b_i literal constant-folds to the same hash).
-    */
-  private def minhashSigFromBase(base: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      val b = pmod(xxhash64(lit(i.toString)), lit(MinhashPrime))
-      array_min(transform(base, h => pmod(h * lit(2 * i + 1) + b, lit(MinhashPrime))))
-    }: _*)
-
   /** MinHash signature column: k permutation-hashes
     * h_i(t) = (a_i * h(t) + b_i) mod (2^31-1), minimum over tokens, where
     * h(t) = xxhash64(t) mod (2^31-1). Multipliers stay small so the product
@@ -398,21 +368,19 @@ object TextOps {
     })
   }
 
-  /** Banded `(doc_id, band, band_sig)` rows with the signature pipeline
-    * STAGED (tokens+base hashed once, k lanes from the bound base, band
-    * sigs from the bound lane array) and the scan fanned out to cluster
-    * parallelism. Shared by [[minhashLsh]] / [[minhashBandIndex]].
+  /** Banded `(doc_id, band, band_sig)` rows — ONE native codegen'd call per
+    * row ([[graft.functions.MinhashBandSigs]]: tokens hashed once, unboxed
+    * lane minima, band-sig hashing; bit-equal to the declarative
+    * [[minhashSignature]] pipeline, OpsSpec-asserted) with the scan fanned
+    * out to cluster parallelism. Shared by [[minhashLsh]] /
+    * [[minhashBandIndex]].
     */
   private def bandedRows(docs: DataFrame, k: Int, bands: Int): DataFrame = {
-    val rowsPerBand = k / bands
+    graft.functions.MinhashBandSigs.ensureRegistered(docs.sparkSession)
     Par.fanOut(docs.select(col("doc_id"), col("text")), col("doc_id"))
-      .select(col("doc_id"), minhashBase(col("text")).as("_mh"))
-      .select(col("doc_id"), minhashSigFromBase(col("_mh"), k).as("sig"))
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
-          xxhash64(concat_ws("_",
-            slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")))))
-          .as(Seq("band", "band_sig")))
+        posexplode(call_function(graft.functions.MinhashBandSigs.functionName,
+          col("text"), lit(k), lit(bands))).as(Seq("band", "band_sig")))
   }
 
   /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
@@ -688,19 +656,13 @@ object TextOps {
     val (c, widths) = simhashBlocking(d)
     val offsets = widths.scanLeft(0)(_ + _).init
     val m = c - d                // chunks that must agree (pigeonhole)
-    def chunk(i: Int): Column =
-      call_function("shiftrightunsigned", col("simhash"), lit(offsets(i)))
-        .bitwiseAND(lit((1L << widths(i)) - 1))
-    // The subset table is a LITERAL exploded per row, and the key is an
-    // aggregate-HOF fold over the row's chunk array — NOT C(c,m) inlined
-    // shift/or expression trees: at c=12 the inline form is ~30k expression
-    // nodes, which blows whole-stage codegen's 64 KB method limit and the
-    // driver heap (observed). This form is constant-size in the plan no
-    // matter the fan-out. Key = chunks of the subset concatenated at their
-    // cumulative widths (injective per subset).
+    // Key = chunks of the subset concatenated at their cumulative widths
+    // (injective per subset), generated natively per value row — NOT
+    // C(c,m) inlined shift/or expression trees (at c=12 the inline form is
+    // ~30k expression nodes, which blows whole-stage codegen's 64 KB method
+    // limit and the driver heap — observed round 4), and NOT an interpreted
+    // HOF fold (the round-5 form; CodegenFallback, ~5 µs per generated row).
     val subsets: Seq[Seq[Int]] = (0 until c).combinations(m).map(_.toSeq).toSeq
-    val widthsLit = typedlit(widths)
-    val chunksCol = array((0 until c).map(chunk): _*)
     // CANONICAL-SUBSET emission: a pair whose differing-chunk set is D
     // (|D| <= d, since candidates agree on an m-chunk subset) appears in
     // the bucket of EVERY subset disjoint from D — up to C(c-1, m) join
@@ -715,14 +677,20 @@ object TextOps {
     }
     val canonicalLit = typedlit(canonical)
     // block over DISTINCT hash values — v can be far below n on real
-    // corpora (observed 4,921 values / 10,000 docs on the bench table)
+    // corpora (observed 4,921 values / 10,000 docs on the bench table).
+    // The C(c,m) subset keys come from ONE native codegen'd call per value
+    // ([[graft.functions.SimhashSubsetKeys]], same canonical subset order
+    // and fold — the HOF posexplode+aggregate formulation it replaces was
+    // CodegenFallback and interpreted at ~5 µs per generated row: 20 s of
+    // the round-5 d17 bench). Materialized once: the self-join references
+    // the blocked frame on both sides.
+    graft.functions.SimhashSubsetKeys.ensureRegistered(members.sparkSession)
     val values = members.select("simhash").distinct()
     val blocked = values
-      .select(col("simhash"), chunksCol.as("chunks"), posexplode(typedlit(subsets)))
-      .select(col("simhash"), col("pos").as("blk"),
-        aggregate(col("col"), lit(0L), (acc, ci) =>
-          call_function("shiftleft", acc, element_at(widthsLit, ci + 1))
-            .bitwiseOR(element_at(col("chunks"), ci + 1))).as("blk_key"))
+      .select(col("simhash"),
+        posexplode(call_function(graft.functions.SimhashSubsetKeys.functionName,
+          col("simhash"), lit(d))).as(Seq("blk", "blk_key")))
+      .localCheckpoint()
     val a = blocked.select(col("blk"), col("blk_key"), col("simhash").as("sim_a"))
     val b = blocked.select(col("blk"), col("blk_key"), col("simhash").as("sim_b"))
     val xorCol = col("sim_a").bitwiseXOR(col("sim_b"))

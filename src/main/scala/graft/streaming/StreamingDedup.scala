@@ -5,8 +5,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** One exploded chunk-key row of a streamed document's simhash. */
-case class SimChunk(doc_id: Long, simhash: Long, blk: Int, blk_key: Long)
+/** One exploded chunk-key row of a streamed document's simhash. `store` is
+  * true on exactly one of the doc's sub-bucket rows per (blk, blk_key) —
+  * the sub-bucket that persists the doc; the others only probe.
+  */
+case class SimChunk(doc_id: Long, simhash: Long, blk: Int, blk_key: Long,
+                    sub: Int, store: Boolean)
 
 /** A near-dup pair emitted by the online dedup (hamming <= maxDist). */
 case class SimPair(doc_a: Long, doc_b: Long, hamming: Int)
@@ -40,23 +44,47 @@ case class SimBucket(entries: Seq[(Long, Long)])
   * downstream dedup, no unbounded `dropDuplicates` state.
   *
   * Scale shape: state is the full fingerprint history sharded over
-  * 4 × 65,536 bucket keys (RocksDB-backed in production; entries are 16
-  * bytes each), micro-batch shuffle is 4 id+hash rows per arriving doc,
-  * and text never enters the stateful stage at all. Re-crawled doc_ids are
-  * the caller's concern (the crawl seen-set drops them upstream, exactly
-  * as in the batch rounds).
+  * 4 × 65,536 bucket keys × `subBuckets` hash sub-buckets (RocksDB-backed
+  * in production; entries are 16 bytes each), text never enters the
+  * stateful stage at all. Re-crawled doc_ids are the caller's concern (the
+  * crawl seen-set drops them upstream, exactly as in the batch rounds).
+  *
+  * SUB-BUCKETING (round-6 state-write hygiene): a state-store update
+  * rewrites the group's WHOLE serialized value, so keying state by
+  * (blk, blk_key) alone rewrote the full resident Vector per arrival —
+  * ~2.4 MB per update at the 10^10-doc design point. Residents are instead
+  * stored under (blk, blk_key, doc_id mod subBuckets): an arrival probes
+  * all sub-buckets of each of its c chunk keys (c × subBuckets small
+  * id+hash rows in the micro-batch shuffle) but is PERSISTED in exactly
+  * one, so the per-arrival state rewrite shrinks by the sub-bucket factor
+  * (bounded write amplification; StreamingSpec pins streaming-equals-batch,
+  * restart recovery and a skewed-stream write-size bound).
   */
 object StreamingDedup {
+
+  /** Default sub-bucket fan-out: 2.4 MB design-point rewrites become
+    * ~150 KB, while a 10k-doc micro-batch ships 10k × 4 × 16 = 640k
+    * 24-byte rows — still far below the text bytes the stage never sees.
+    */
+  val DefaultSubBuckets: Int =
+    sys.env.getOrElse("SPARK_GRAFT_DEDUP_SUBBUCKETS", "16").toInt
 
   /** documents stream `(doc_id, text, ...)` -> append-mode stream of
     * near-dup pairs (doc_a < doc_b, hamming <= maxDist) against everything
     * that arrived before (and earlier in the same micro-batch, ordered by
     * doc_id).
+    *
+    * Exactly-once across sub-buckets: a pair is emitted only (a) from the
+    * pair's smallest agreeing chunk (the original rule) and (b) inside the
+    * sub-bucket where the EARLIER-processed side is persisted — both
+    * locally decidable, so no cross-group coordination is added.
     */
-  def simhashPairsStream(docs: DataFrame, maxDist: Int = 3): Dataset[SimPair] = {
+  def simhashPairsStream(docs: DataFrame, maxDist: Int = 3,
+                         subBuckets: Int = DefaultSubBuckets): Dataset[SimPair] = {
     require(0 <= maxDist && maxDist <= 3,
       "the streaming path keeps the production 4×16-bit layout (d <= 3); " +
         "run wider radii through the batch engine")
+    require(subBuckets >= 1, "subBuckets must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
     val (c, widths) = TextOps.simhashBlocking(maxDist)
@@ -68,15 +96,18 @@ object StreamingDedup {
     val exploded = TextOps.withSimhash(docs)
       .select(col("doc_id"), col("simhash"),
         posexplode(array(chunkCols: _*)).as(Seq("blk", "blk_key")))
+      .select(col("doc_id"), col("simhash"), col("blk"), col("blk_key"),
+        explode(sequence(lit(0), lit(subBuckets - 1))).as("sub"))
+      .withColumn("store", pmod(col("doc_id"), lit(subBuckets)).cast("int") === col("sub"))
       .as[SimChunk]
     val d = maxDist
     val nChunks = c
     val widthArr = widths.toArray
     val offsetArr = offsets.toArray
     exploded
-      .groupByKey(r => (r.blk, r.blk_key))
+      .groupByKey(r => (r.blk, r.blk_key, r.sub))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: (Int, Long), rows: Iterator[SimChunk], state: GroupState[SimBucket]) =>
+        (key: (Int, Long, Int), rows: Iterator[SimChunk], state: GroupState[SimBucket]) =>
           def chunkOf(sim: Long, i: Int): Long =
             (sim >>> offsetArr(i)) & ((1L << widthArr(i)) - 1)
           def minAgreeingChunk(x: Long, y: Long): Int = {
@@ -85,7 +116,8 @@ object StreamingDedup {
             i // < nChunks whenever hamming <= d (pigeonhole)
           }
           val out = scala.collection.mutable.ArrayBuffer.empty[SimPair]
-          var residents = state.getOption.map(_.entries).getOrElse(Vector.empty)
+          val prev = state.getOption.map(_.entries).getOrElse(Vector.empty)
+          var residents = prev
           // doc_id order makes in-batch emission independent of partitioning
           for (r <- rows.toSeq.sortBy(_.doc_id)) {
             for ((oid, osim) <- residents if oid != r.doc_id) {
@@ -93,9 +125,12 @@ object StreamingDedup {
               if (ham <= d && minAgreeingChunk(r.simhash, osim) == key._1)
                 out += SimPair(math.min(r.doc_id, oid), math.max(r.doc_id, oid), ham)
             }
-            residents = residents :+ ((r.doc_id, r.simhash))
+            if (r.store) residents = residents :+ ((r.doc_id, r.simhash))
           }
-          state.update(SimBucket(residents))
+          // probe-only visits leave the state value untouched — the whole
+          // point of sub-bucketing is that only the owning sub-bucket pays
+          // a value rewrite per arrival
+          if (residents.size != prev.size) state.update(SimBucket(residents))
           out.iterator
       }
   }

@@ -527,6 +527,35 @@ class OpsSpec extends AnyFunSuite {
     assert(fast.exceptAll(reference).isEmpty && reference.exceptAll(fast).isEmpty)
   }
 
+  test("r6: native subset-key expression equals the HOF fold formulation") {
+    graft.functions.SimhashSubsetKeys.ensureRegistered(spark)
+    for (d <- Seq(2, 5, 7)) {
+      val (c, widths) = (graft.functions.SimhashSubsetKeys.blocking(d)._1,
+        graft.functions.SimhashSubsetKeys.blocking(d)._2)
+      val offsets = widths.scanLeft(0)(_ + _).init
+      val subsets = (0 until c).combinations(c - d).map(_.toSeq).toSeq
+      val widthsLit = typedlit(widths)
+      def chunk(i: Int) =
+        call_function("shiftrightunsigned", col("simhash"), lit(offsets(i)))
+          .bitwiseAND(lit((1L << widths(i)) - 1))
+      val members = TextOps.withSimhash(docs)
+      val reference = members
+        .select(col("simhash"), array((0 until c).map(chunk): _*).as("chunks"),
+          posexplode(typedlit(subsets)))
+        .select(col("simhash"), col("pos").as("blk"),
+          aggregate(col("col"), lit(0L), (acc, ci) =>
+            call_function("shiftleft", acc, element_at(widthsLit, ci + 1))
+              .bitwiseOR(element_at(col("chunks"), ci + 1))).as("blk_key"))
+      val fast = members.select(col("simhash"),
+        posexplode(call_function(graft.functions.SimhashSubsetKeys.functionName,
+          col("simhash"), lit(d))).as(Seq("blk", "blk_key")))
+      assert(fast.exceptAll(reference).isEmpty && reference.exceptAll(fast).isEmpty,
+        s"subset keys diverge at d=$d")
+      // the chunk plans must agree between the native table and TextOps
+      assert(graft.functions.SimhashSubsetKeys.blocking(d) == TextOps.simhashBlocking(d))
+    }
+  }
+
   test("r6: canonical-subset simhash emission has no duplicate value pairs") {
     // the dedup-free join emits each near pair from exactly ONE subset —
     // duplicates would double doc pairs downstream

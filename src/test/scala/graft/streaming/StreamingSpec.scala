@@ -139,6 +139,33 @@ class StreamingSpec extends AnyFunSuite {
       s"cross-restart pair missing or wrong: ${sink.asScala.toSet}")
   }
 
+  test("r6: skewed stream spreads residents across sub-buckets (bounded state rewrites)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 32 docs with IDENTICAL text → identical simhash → all land in the
+    // same 4 chunk buckets (worst-case skew). Sub-bucketing must split the
+    // fingerprint state into 4 × subBuckets rows of ~N/subBuckets entries
+    // each — a per-arrival value rewrite is then bounded by the sub-bucket
+    // population, not the whole clique — while still emitting every pair
+    // exactly once.
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingDedup.simhashPairsStream(
+        input.toDF().toDF("doc_id", "text"), maxDist = 3, subBuckets = 8)
+      .writeStream.format("memory").queryName("simdup_skew")
+      .outputMode("append").start()
+    input.addData((0L until 32L).map(i => (i, "same text for every doc")))
+    out.processAllAvailable()
+    val stateRows = out.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+    val got = spark.sql("SELECT doc_a, doc_b FROM simdup_skew").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    out.stop()
+    assert(got.length == 32 * 31 / 2, s"clique pairs: ${got.length}")
+    assert(got.length == got.distinct.length, "a pair was emitted twice")
+    assert(stateRows == 4 * 8,
+      s"state rows $stateRows != 32: residents not spread across sub-buckets")
+  }
+
   test("online simhash dedup runs on the RocksDB state store provider") {
     // the scale claim: the fingerprint index lives in RocksDB on executors,
     // not on-heap — same results, state size no longer bounded by heap
