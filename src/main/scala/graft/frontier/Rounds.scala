@@ -115,9 +115,23 @@ final class RoundState(spark: SparkSession, stateDir: String) {
 
   def nextRound: Int = committedRounds.lastOption.map(_ + 1).getOrElse(0)
 
-  /** Append a round-delta for a state table (not visible until commit). */
+  /** Append a round-delta for a state table (not visible until commit).
+    *
+    * Committer v2 + no `_SUCCESS` marker (guide §6): task output commits
+    * straight to the destination dir, halving the per-write rename/list
+    * round-trips of the v1 two-phase protocol — measured as the dominant
+    * share of the ~14 concurrent one-file delta writes a small round pays.
+    * Safe HERE because delta visibility is gated by the round manifest
+    * (written last): a crashed write job leaves partial files in a dir no
+    * reader consults, and the retry's `overwrite` clears them first. Do
+    * not copy this setting to writers whose output dir IS the commit
+    * marker.
+    */
   def writeDelta(table: String, round: Int, df: DataFrame): Unit =
-    df.write.mode("overwrite").parquet(s"$stateDir/$table/round=$round")
+    df.write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(s"$stateDir/$table/round=$round")
 
   /** Union of all committed deltas of a table (empty frame via schema sample
     * must be handled by callers when no rounds are committed yet).

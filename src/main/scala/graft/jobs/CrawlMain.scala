@@ -83,7 +83,9 @@ object CrawlMain {
     val roundsJson = roundStats.map(s =>
       s"""{"round":${s.round},"frontier":${s.frontier},"scheduled":${s.scheduled},""" +
       s""""fetched":${s.fetched},"extracted":${s.extracted},"jobs":${s.jobs},""" +
-      s""""companies":${s.companies},"wall_sec":${f"${s.wallSec}%.1f"}}""")
+      // Locale.ROOT: the f-interpolator is default-locale-sensitive (de_DE
+      // renders "28,9" — invalid JSON; round-5 ADVICE)
+      s""""companies":${s.companies},"wall_sec":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(s.wallSec))}}""")
       .mkString("[", ",", "]")
     println(
       s"""{"metric":"urls_scheduled_extracted_per_sec","value":$urlsPerSec,""" +

@@ -240,7 +240,11 @@ object Multimodal {
             if (off + 4 > b.length) (i, null: Array[Byte])
             else {
               val len = be32(off)
-              if (len < 0 || off + 4 + len > b.length) (i, null: Array[Byte])
+              // bounds check in Long arithmetic: a large positive len (e.g.
+              // 0x7FFFFFF0) wraps `off + 4 + len` negative in Int and would
+              // pass the guard only to throw in copyOfRange — exactly the
+              // corrupt input this path promises to degrade gracefully on
+              if (len < 0 || off.toLong + 4L + len > b.length) (i, null: Array[Byte])
               else {
                 val payload = java.util.Arrays.copyOfRange(b, off + 4, off + 4 + len)
                 off += 4 + len

@@ -179,6 +179,42 @@ object TextOps {
       banded.join(broadcast(hot), bucketCols, "left_anti")
     }
 
+  /** Exact token-set Jaccard verify over id-only candidate pairs — the
+    * shared tail of every banding operator: tokenize each doc ONCE (never
+    * per pair), broadcast-attach the token arrays by doc id, intersect,
+    * filter at `threshold`. (A hashed-token variant — xxhash64 per token,
+    * long-array intersect — was measured in round 6 at 7.95 s vs 7.60 s
+    * for the string arrays on the d7 bench: the verify cost is join
+    * mechanics plus the intersection's per-row set build, not string
+    * hashing, so the exact string formulation stays.)
+    *
+    * `candidates` must carry `doc_a`/`doc_b`; its other columns (e.g. the
+    * `source` blocking key) pass through. Output = candidate columns +
+    * `jaccard`, filtered to `jaccard >= threshold`.
+    */
+  private def verifyJaccard(candidates: DataFrame, docs: DataFrame,
+                            threshold: Double): DataFrame = {
+    // one native call per pair ([[graft.functions.Jaccard4]], sorted-merge
+    // intersection): the builtin round(size(array_intersect)/...) tree is
+    // pushed into the verify join's CONDITION where subexpression
+    // elimination does not reach — array_intersect ran TWICE per candidate
+    // pair, and the tree bloated the fused join stage's generated method
+    // (HotSpot huge-method JIT refusal, measured on the d7 bench). The
+    // call yields bit-identical jaccard values (OpsSpec equivalence test).
+    graft.functions.Jaccard4.ensureRegistered(docs.sparkSession)
+    val toks = Par.fanOut(docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"),
+        sort_array(array_distinct(split(col("text"), " "))).as("tk"))
+    val ta = toks.select(col("doc_id").as("doc_a"), col("tk").as("toks_a"))
+    val tb = toks.select(col("doc_id").as("doc_b"), col("tk").as("toks_b"))
+    val outCols = candidates.columns.map(col).toSeq :+ col("jaccard")
+    candidates.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+      .withColumn("jaccard", call_function(graft.functions.Jaccard4.functionName,
+        col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(outCols: _*)
+  }
+
   /** The 100 TB path for [[ngramJaccard]]: MinHash banding with (bands,
     * rows) derived from the call's threshold via [[lshParams]] (low
     * thresholds resolve to single-row bands — collision prob per band ≈ J,
@@ -210,15 +246,7 @@ object TextOps {
       .filter(col("doc_a") < col("doc_b"))
       .select("source", "doc_a", "doc_b")
       .dropDuplicates("source", "doc_a", "doc_b")
-    val toks = Par.fanOut(docs.select(col("doc_id"), col("text")), col("doc_id"))
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tk"))
-    val ta = toks.select(col("doc_id").as("doc_a"), col("tk").as("toks_a"))
-    val tb = toks.select(col("doc_id").as("doc_b"), col("tk").as("toks_b"))
-    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
-    val union = size(col("toks_a")) + size(col("toks_b")) - inter
-    candidates.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
-      .withColumn("jaccard", round(inter.cast("double") / union, 4))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(candidates, docs, threshold)
       .select("source", "doc_a", "doc_b", "jaccard")
   }
 
@@ -391,35 +419,69 @@ object TextOps {
     */
   def minhashLsh(docs: DataFrame, k: Int = 32, bands: Int = 8,
                  threshold: Double = 0.5, maxBucketDocs: Int = 4096): DataFrame = {
+    require(bands <= 64, "canonical-band emission packs the surviving-band mask in a long")
     // candidate generation is ID-ONLY: the bucket self-join explodes to
     // O(collisions) rows, and on a self-similar corpus that is the dominant
     // row count — 16-byte id pairs shuffle fine where rows carrying both
     // texts thrash (the round-3 bench finding). Texts re-attach AFTER the
-    // pair dedup via two narrow doc_id equi-joins. Buckets above
-    // maxBucketDocs are dropped ([[capHotBuckets]] — recall effect there).
-    // The banded rows are localCheckpointed: the self-join references the
-    // frame twice and would otherwise run the signature pipeline per side.
-    val banded = capHotBuckets(
-      bandedRows(docs, k, bands).localCheckpoint(),
-      Seq("band", "band_sig"), maxBucketDocs)
-    val a = banded.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
-    val b = banded.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
+    // pair dedup via two narrow doc_id equi-joins.
+    //
+    // CANONICAL-BAND emission (the simhash canonical-subset device): a
+    // near-dup pair collides in MANY bands (at J=0.9, r=2: ~13 of 16), and
+    // the historical `dropDuplicates(doc_a, doc_b)` shuffled every collision
+    // row to dedup them. Instead each banded row carries the doc's full
+    // band-signature array plus a bitmask of its bands that SURVIVED the
+    // hot-bucket cap, and a join row is kept iff its band is the FIRST
+    // surviving band whose signatures agree — computed with plain codegen'd
+    // expressions (element_at + bit ops; no CodegenFallback HOF). Survival
+    // is a property of the (band, sig) bucket, so the two sides' mask bits
+    // agree wherever their sigs do and one side's mask suffices. Every
+    // candidate pair still appears (its first surviving shared band's
+    // bucket matched), now exactly once — the dedup exchange disappears.
+    // Cap semantics are byte-identical to [[capHotBuckets]]: a pair whose
+    // every shared band is hot generates no surviving join row at all.
+    graft.functions.MinhashBandSigs.ensureRegistered(docs.sparkSession)
+    val sigRows = Par.fanOut(docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"),
+        call_function(graft.functions.MinhashBandSigs.functionName,
+          col("text"), lit(k), lit(bands)).as("sigs"))
+      .localCheckpoint()
+    val exploded = sigRows.select(col("doc_id"), col("sigs"),
+      posexplode(col("sigs")).as(Seq("band", "band_sig")))
+    // sides materialized ONCE (the self-join references it twice; without
+    // the checkpoint the hot-agg + anti-join + mask-agg subtree runs per
+    // side)
+    val sides = (
+      if (maxBucketDocs <= 0) exploded.withColumn("mask", lit(-1L))
+      else {
+        val hot = exploded.groupBy("band", "band_sig")
+          .agg(count(lit(1)).as("_bucket_docs"))
+          .filter(col("_bucket_docs") > maxBucketDocs)
+          .select("band", "band_sig")
+        val surv = exploded.join(broadcast(hot), Seq("band", "band_sig"), "left_anti")
+        // per-doc surviving-band bitmask; sigRows is hash-partitioned by
+        // doc_id (fanOut), so neither the groupBy nor the join re-shuffles
+        val masks = surv.groupBy("doc_id").agg(sum(expr("shiftleft(1L, band)")).as("mask"))
+        surv.join(masks, Seq("doc_id"))
+      }).localCheckpoint()
+    val a = sides.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"),
+      col("sigs").as("sigs_a"), col("mask").as("mask_a"))
+    val b = sides.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"),
+      col("sigs").as("sigs_b"))
+    // The first-surviving-shared-band test is ONE native codegen'd static
+    // call ([[graft.functions.FirstSharedBand]]). The equivalent builtin
+    // cascade (16 least/CASE WHEN/element_at terms) blew the fused join
+    // stage past HotSpot's huge-method JIT limit and the 10^7-row loop ran
+    // interpreted — measured 16.5 s → 131.5 s before this expression.
+    graft.functions.FirstSharedBand.ensureRegistered(docs.sparkSession)
     // equi-keyed id-only self-join: pin shuffled-hash (no sort needed; the
     // build side is the capped banded frame, bounded per partition)
     val candidates = a.hint("shuffle_hash").join(b, Seq("band", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(col("band") === call_function(graft.functions.FirstSharedBand.functionName,
+        col("sigs_a"), col("sigs_b"), col("mask_a")))
       .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
-    val toks = Par.fanOut(docs.select(col("doc_id"), col("text")), col("doc_id"))
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tk"))
-    val ta = toks.select(col("doc_id").as("doc_a"), col("tk").as("toks_a"))
-    val tb = toks.select(col("doc_id").as("doc_b"), col("tk").as("toks_b"))
-    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
-    val union = size(col("toks_a")) + size(col("toks_b")) - inter
-    candidates.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
-      .withColumn("jaccard", round(inter.cast("double") / union, 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    verifyJaccard(candidates, docs, threshold)
   }
 
   /** Banded MinHash signature INDEX rows for [[minhashLshIncremental]]:
@@ -489,17 +551,9 @@ object TextOps {
       .select(least(col("cand_a"), col("cand_b")).as("doc_a"),
         greatest(col("cand_a"), col("cand_b")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val toks = Par.fanOut(oldDocs.select(col("doc_id"), col("text"))
-        .unionByName(newDocs.select(col("doc_id"), col("text"))), col("doc_id"))
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tk"))
-    val ta = toks.select(col("doc_id").as("doc_a"), col("tk").as("toks_a"))
-    val tb = toks.select(col("doc_id").as("doc_b"), col("tk").as("toks_b"))
-    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
-    val union = size(col("toks_a")) + size(col("toks_b")) - inter
-    candidates.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
-      .withColumn("jaccard", round(inter.cast("double") / union, 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    verifyJaccard(candidates,
+      oldDocs.select(col("doc_id"), col("text"))
+        .unionByName(newDocs.select(col("doc_id"), col("text"))), threshold)
   }
 
   /** Winnowing k-gram hashes of a text column: xxhash64 of each k-char
@@ -733,17 +787,7 @@ object TextOps {
     * payloads).
     */
   def simhashNearDup(docs: DataFrame, maxDist: Int = 7,
-                     threshold: Double = 0.9): DataFrame = {
-    val pairs = simhashPairs(docs, maxDist)
-    val ta = docs.select(col("doc_id").as("doc_a"),
-      array_distinct(tokens(col("text"))).as("toks_a"))
-    val tb = docs.select(col("doc_id").as("doc_b"),
-      array_distinct(tokens(col("text"))).as("toks_b"))
-    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
-    val union = size(col("toks_a")) + size(col("toks_b")) - inter
-    pairs.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
-      .withColumn("jaccard", round(inter.cast("double") / union, 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-  }
+                     threshold: Double = 0.9): DataFrame =
+    verifyJaccard(simhashPairs(docs, maxDist).select("doc_a", "doc_b"),
+      docs, threshold)
 }

@@ -16,7 +16,23 @@ object VectorOps {
 
   private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  /** Dot product — ONE native codegen'd static call per row
+    * ([[graft.functions.DotProduct]]; bit-identical strict left fold,
+    * OpsSpec-pinned). The declarative `aggregate(zip_with(...))` form it
+    * replaces is CodegenFallback: interpreted per element per CANDIDATE
+    * PAIR in every vector verify (~4×10^6 pairs on the d10 bench).
+    */
+  def dot(a: Column, b: Column): Column = {
+    graft.functions.DotProduct.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(graft.functions.DotProduct.functionName, a, b)
+  }
+
+  /** The declarative HOF formulation of [[dot]] — kept as the
+    * cross-implementation reference for the native expression (OpsSpec
+    * asserts bit-equality).
+    */
+  private[graft] def dotDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -107,6 +123,11 @@ object VectorOps {
     * [[lshBucketAt]] because the sign values and the fold order match
     * (OpsSpec asserts the equivalence). Assumes the uniform embedding dim
     * of an embeddings table (probed from one row).
+    *
+    * When nPlanes·nTables <= 64 the rows additionally carry `packed` — ALL
+    * plane sign bits in one long (table t's bucket = bits
+    * [t·nPlanes, (t+1)·nPlanes)). Consumers use it for canonical-table
+    * pair emission ([[firstSharedTable]]); `bucket` values are unchanged.
     */
   private[graft] def lshTables(embeddings: DataFrame, nPlanes: Int,
                                nTables: Int): DataFrame = {
@@ -116,18 +137,66 @@ object VectorOps {
     val signs: Seq[Seq[Double]] =
       (0 until total).map(p => (0 until dim).map(d => planeSignValue(p, d)))
     val signsLit = typedlit(signs)
+    // the embedding is cast to array<double> ONCE per row (a bound
+    // attribute), and each plane's fold is one native [[dot]] call — the
+    // previous aggregate(zip_with(cast)) lambda re-cast and folded
+    // interpreted, per plane per row (total × dim CodegenFallback evals)
+    graft.functions.DotProduct.ensureRegistered(embeddings.sparkSession)
     val dots = transform(sequence(lit(0), lit(total - 1)), p =>
-      aggregate(zip_with(col("embedding"), element_at(signsLit, p + 1),
-        (x, sgn) => x.cast("double") * sgn), lit(0.0), (acc, x) => acc + x))
+      call_function(graft.functions.DotProduct.functionName,
+        col("_ed"), element_at(signsLit, p + 1)))
     val staged = Par.fanOut(embeddings.select(col("vec_id"), col("embedding")),
         col("vec_id"))
+      .select(col("vec_id"), toDouble(col("embedding")).as("_ed"))
       .select(col("vec_id"), dots.as("_dots"))
     val buckets = transform(sequence(lit(0), lit(nTables - 1)), t =>
       (0 until nPlanes).map(q =>
         when(element_at(col("_dots"), t * nPlanes + q + 1) >= 0, lit(1L << q))
           .otherwise(lit(0L)))
         .reduce(_ + _))
-    staged.select(col("vec_id"), posexplode(buckets).as(Seq("table", "bucket")))
+    val packed =
+      if (total > 64) lit(0L)
+      else (0 until total).map(p =>
+        when(element_at(col("_dots"), p + 1) >= 0, lit(1L << p)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    staged.select(col("vec_id"), packed.as("packed"),
+      posexplode(buckets).as(Seq("table", "bucket")))
+  }
+
+  /** CANONICAL-TABLE pair emission (the simhash canonical-subset device,
+    * guide §2.4 "remove shuffles outright"): a vector pair colliding in M
+    * of the nTables buckets produces M join rows, and the historical
+    * `dropDuplicates(pair)` shuffled them all — the dominant exchange of
+    * the d10 bench (nearly-all-pairs collide at 2 planes × 32 tables).
+    * Instead keep a join row iff its table is the FIRST whose buckets
+    * agree, computed from the two packed sign words with plain bit
+    * arithmetic (whole-stage codegen, no HOF): table t's buckets agree iff
+    * the t-th nPlanes-bit chunk of `pk_a XOR pk_b` is zero. Every
+    * colliding pair still appears (its first shared table's bucket
+    * matched), now exactly once — the dedup exchange disappears. Only
+    * valid when nPlanes·nTables <= 64 (callers route).
+    */
+  private def firstSharedTable(pkA: Column, pkB: Column, nPlanes: Int,
+                               nTables: Int): Column = {
+    // Pure bit arithmetic, CONSTANT expression size (an earlier nTables-term
+    // least/CASE WHEN cascade inside the join condition pushed the fused
+    // codegen stage past HotSpot's huge-method JIT limit — the 3×10^7-row
+    // join loop ran interpreted, 15 s → 33 s):
+    //   m      = NOT xor           bit p set  <=>  the planes' signs agree
+    //   folded = AND of m >> j, j < nPlanes   bit p set <=> p..p+nPlanes-1 agree
+    //   z      = folded & pattern  one bit per table, at p = t·nPlanes,
+    //                              set <=> table t's whole bucket agrees
+    //   t      = bit_count((z & -z) - 1) / nPlanes   index of lowest set bit
+    // A joined row always has z != 0 (its own table's bucket matched).
+    val xorP = pkA.bitwiseXOR(pkB)
+    val m = bitwise_not(xorP)
+    val folded = (1 until nPlanes)
+      .map(j => call_function("shiftrightunsigned", m, lit(j)))
+      .foldLeft(m)((acc, s) => acc.bitwiseAND(s))
+    val pattern = (0 until nTables).map(t => 1L << (t * nPlanes)).reduce(_ | _)
+    val z = folded.bitwiseAND(lit(pattern))
+    val low = z.bitwiseAND(-z)
+    (bit_count(low - 1) / lit(nPlanes)).cast("int")
   }
 
   /** LSH-bucketed approximate top-k: exact cosine *within* each bucket.
@@ -141,19 +210,29 @@ object VectorOps {
     val tables = lshTables(embeddings, nPlanes, nTables).localCheckpoint()
     // id-only bucket join; vectors + precomputed norms re-attach after the
     // pair dedup (bucket collisions dominate the row count — see TextOps)
-    val a = tables.select(col("table"), col("bucket"), col("vec_id").as("query_id"))
-    val b = tables.select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"))
+    val a = tables.select(col("table"), col("bucket"), col("packed").as("pk_a"),
+      col("vec_id").as("query_id"))
+    val b = tables.select(col("table"), col("bucket"), col("packed").as("pk_b"),
+      col("vec_id").as("neighbor_id"))
     val va = embeddings.select(col("vec_id").as("query_id"),
       toDouble(col("embedding")).as("va")).withColumn("na", norm(col("va")))
     val vb = embeddings.select(col("vec_id").as("neighbor_id"),
       toDouble(col("embedding")).as("vb")).withColumn("nb", norm(col("vb")))
+    // canonical-table emission ([[firstSharedTable]]) replaces the pair
+    // dropDuplicates exchange when the sign bits fit one word; wider
+    // configurations keep the dedup (same output either way)
+    val joined = a.hint("shuffle_hash").join(b, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val distinctPairs =
+      (if (nPlanes * nTables <= 64)
+        joined.filter(col("table") ===
+          firstSharedTable(col("pk_a"), col("pk_b"), nPlanes, nTables))
+      else joined.dropDuplicates("query_id", "neighbor_id"))
+        .select("query_id", "neighbor_id")
     // vb joins before va so the (AQE-chosen) last equi-join keys on
     // query_id — when it shuffles, its output partitioning already
     // satisfies the window's distribution
-    val pairs = a.hint("shuffle_hash").join(b, Seq("table", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id")
-      .dropDuplicates("query_id", "neighbor_id")
+    val pairs = distinctPairs
       .join(vb, Seq("neighbor_id")).join(va, Seq("query_id"))
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
     val w = Window.partitionBy(col("query_id"))
@@ -311,16 +390,25 @@ object VectorOps {
   def cosineNearDupLsh(embeddings: DataFrame, threshold: Double,
                        nPlanes: Int = 2, nTables: Int = 32): DataFrame = {
     val tables = lshTables(embeddings, nPlanes, nTables).localCheckpoint()
-    val a = tables.select(col("table"), col("bucket"), col("vec_id").as("vec_a"))
-    val b = tables.select(col("table"), col("bucket"), col("vec_id").as("vec_b"))
+    val a = tables.select(col("table"), col("bucket"), col("packed").as("pk_a"),
+      col("vec_id").as("vec_a"))
+    val b = tables.select(col("table"), col("bucket"), col("packed").as("pk_b"),
+      col("vec_id").as("vec_b"))
     val va = embeddings.select(col("vec_id").as("vec_a"),
       toDouble(col("embedding")).as("va")).withColumn("na", norm(col("va")))
     val vb = embeddings.select(col("vec_id").as("vec_b"),
       toDouble(col("embedding")).as("vb")).withColumn("nb", norm(col("vb")))
-    a.hint("shuffle_hash").join(b, Seq("table", "bucket"))
+    // canonical-table emission instead of the pair dedup exchange (see
+    // [[firstSharedTable]]); wider-than-64-bit configs keep the dedup
+    val joined = a.hint("shuffle_hash").join(b, Seq("table", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b")
-      .dropDuplicates("vec_a", "vec_b")
+    val distinctPairs =
+      (if (nPlanes * nTables <= 64)
+        joined.filter(col("table") ===
+          firstSharedTable(col("pk_a"), col("pk_b"), nPlanes, nTables))
+      else joined.dropDuplicates("vec_a", "vec_b"))
+        .select("vec_a", "vec_b")
+    distinctPairs
       .join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)

@@ -457,9 +457,15 @@ class OpsSpec extends AnyFunSuite {
     val negLen = "FPK1".getBytes ++ be32(2) ++
       be32(frame.length) ++ frame ++ be32(-7) ++ frame   // negative length field
     val overCount = "FPK1".getBytes ++ be32(99) ++ be32(frame.length) ++ frame
+    // a huge positive length wraps `off + 4 + len` negative in Int
+    // arithmetic; the Long-arithmetic guard must degrade it like negLen
+    // instead of throwing in copyOfRange (round-5 ADVICE)
+    val hugeLen = "FPK1".getBytes ++ be32(2) ++
+      be32(frame.length) ++ frame ++ be32(0x7FFFFFF0) ++ frame
     val media = Seq(
       (0L, ok, "video/fpk"), (1L, truncated, "video/fpk"),
-      (2L, negLen, "video/fpk"), (3L, overCount, "video/fpk"))
+      (2L, negLen, "video/fpk"), (3L, overCount, "video/fpk"),
+      (4L, hugeLen, "video/fpk"))
       .toDF("doc_id", "media", "kind")
     val got = Multimodal.sampleFrames(media, 1).collect()
       .groupBy(_.doc_id).view.mapValues(_.map(_.frame_idx).sorted.toSeq).toMap
@@ -467,6 +473,7 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1L) == Seq(0, 1))         // truncated: parsed prefix only
     assert(got(2L) == Seq(0))            // negative length: stop before it
     assert(got(3L) == Seq(0))            // count beyond buffer: stop at end
+    assert(got(4L) == Seq(0))            // Int-wrapping length: stop before it
   }
 
   test("frame sampling: every k-th frame explodes to a decodable row") {
@@ -562,6 +569,98 @@ class OpsSpec extends AnyFunSuite {
     val corpus = withMutations(docs, 1)
     val pairs = TextOps.simhashPairs(corpus, maxDist = 6)
     assert(pairs.groupBy("doc_a", "doc_b").count().filter(col("count") > 1).isEmpty)
+  }
+
+  test("r6: native jaccard4 equals the round(array_intersect) formulation") {
+    // bit-equality of the sorted-merge native expression against the
+    // builtin tree it replaces, over every pair of the mutated corpus
+    graft.functions.Jaccard4.ensureRegistered(spark)
+    val corpus = withMutations(docs, 3)
+    val sorted = sort_array(array_distinct(split(col("text"), " ")))
+    val a = corpus.select(col("doc_id").as("doc_a"), sorted.as("ta"))
+    val b = corpus.select(col("doc_id").as("doc_b"), sorted.as("tb"))
+    val pairs = a.join(b, col("doc_a") < col("doc_b"))
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    val uni = size(col("ta")) + size(col("tb")) - inter
+    val diff = pairs.select(col("doc_a"), col("doc_b"),
+        round(inter.cast("double") / uni, 4).as("ref"),
+        call_function(graft.functions.Jaccard4.functionName,
+          col("ta"), col("tb")).as("fast"))
+      .filter(col("ref") =!= col("fast"))
+    assert(diff.isEmpty)
+  }
+
+  test("r6: native dot product equals the aggregate(zip_with) fold bit-for-bit") {
+    val a = embeddings.select(col("vec_id").as("ia"),
+      transform(col("embedding"), x => x.cast("double")).as("va"))
+    val b = embeddings.select(col("vec_id").as("ib"),
+      transform(col("embedding"), x => x.cast("double")).as("vb"))
+    val pairs = a.join(b, col("ia") < col("ib")).limit(50000)
+    val diff = pairs.select(
+        VectorOps.dot(col("va"), col("vb")).as("fast"),
+        VectorOps.dotDeclarative(col("va"), col("vb")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.isEmpty)
+  }
+
+  test("r6: canonical-band minhash emission equals the dropDuplicates formulation") {
+    // rebuild the historical candidate set (band-bucket self-join +
+    // dropDuplicates over the capped banded rows) and check the public op —
+    // which now emits each pair from its first surviving shared band —
+    // returns exactly the same pairs
+    val corpus = withMutations(docs, 3)
+    val (k, bands, cap) = (32, 16, 64)
+    val banded = TextOps.minhashBandIndex(corpus, k, bands)
+    val hot = banded.groupBy("band", "band_sig").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > cap).select("band", "band_sig")
+    val kept = banded.join(hot, Seq("band", "band_sig"), "left_anti")
+    val reference = kept.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("band"), col("band_sig"), col("doc_id").as("doc_b")),
+        Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // threshold 0 keeps every candidate pair in the output (verify is a
+    // no-op filter), so the op's pair set IS its candidate set
+    val got = TextOps.minhashLsh(corpus, k, bands, threshold = 0.0, maxBucketDocs = cap)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reference.nonEmpty)
+    assert(got == reference,
+      s"+${(got -- reference).size} -${(reference -- got).size}")
+    // and exactly-once emission: no duplicate pair rows pre-aggregation
+    val dupes = TextOps.minhashLsh(corpus, k, bands, threshold = 0.0, maxBucketDocs = cap)
+      .groupBy("doc_a", "doc_b").count().filter(col("count") > 1)
+    assert(dupes.isEmpty)
+  }
+
+  test("r6: canonical-table sign-LSH emission equals the dropDuplicates formulation") {
+    // lshTopK now keeps a bucket-join row iff its table is the first whose
+    // packed sign chunks agree; the distinct candidate set must equal the
+    // historical dropDuplicates of all bucket collisions — checked through
+    // the public op against an inline rebuild of the historical pipeline
+    val (nPlanes, nTables, k) = (2, 8, 3)
+    val tables = VectorOps.lshTables(embeddings, nPlanes, nTables)
+    val a = tables.select(col("table"), col("bucket"), col("vec_id").as("query_id"))
+    val b = tables.select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"))
+    val refPairs = a.join(b, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val va = embeddings.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), x => x.cast("double")).as("va"))
+      .withColumn("na", VectorOps.norm(col("va")))
+    val vb = embeddings.select(col("vec_id").as("neighbor_id"),
+      transform(col("embedding"), x => x.cast("double")).as("vb"))
+      .withColumn("nb", VectorOps.norm(col("vb")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val reference = refPairs.join(vb, Seq("neighbor_id")).join(va, Seq("query_id"))
+      .withColumn("cos", round(VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+    val got = VectorOps.lshTopK(embeddings, k, nPlanes, nTables)
+    assert(got.count() > 0)
+    assert(got.exceptAll(reference).isEmpty && reference.exceptAll(got).isEmpty)
   }
 
   test("multimodal stub: schema, determinism, and byte metadata") {
