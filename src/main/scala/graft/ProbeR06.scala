@@ -207,18 +207,39 @@ object ProbeR06 {
         col("vec_id").as("query_id"))
       val b = tb0.select(col("table"), col("bucket"), col("packed").as("pk_b"),
         col("vec_id").as("neighbor_id"))
+      // the bit-trick canonical test, as the op builds it
       val xorP = col("pk_a").bitwiseXOR(col("pk_b"))
-      val mask = (1L << nPlanes) - 1
-      val firstEq = (0 until nTables).map(t =>
-        when(call_function("shiftrightunsigned", xorP, lit(t * nPlanes))
-          .bitwiseAND(lit(mask)) === 0L, lit(t)).otherwise(lit(nTables)))
-        .reduce((x, y) => least(x, y))
+      val m = bitwise_not(xorP)
+      val folded = (1 until nPlanes)
+        .map(j => call_function("shiftrightunsigned", m, lit(j)))
+        .foldLeft(m)((acc, s) => acc.bitwiseAND(s))
+      val pattern = (0 until nTables).map(t => 1L << (t * nPlanes)).reduce(_ | _)
+      val z = folded.bitwiseAND(lit(pattern))
+      val low = z.bitwiseAND(-z)
+      val firstEq = (bit_count(low - 1) / lit(nPlanes)).cast("int")
       val pairs0 = a.hint("shuffle_hash").join(b, Seq("table", "bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .filter(col("table") === firstEq)
         .select("query_id", "neighbor_id")
-      time("d10new canonical pairs (count)") {
+      time("d10new canonical pairs bit-trick (count)") {
         System.err.println(s"[probe] d10new canonical pairs: ${pairs0.count()}")
+      }
+      val dd = pairs0.localCheckpoint()
+      val va = emb.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("va"))
+        .withColumn("na", VectorOps.norm(col("va")))
+      val vb = emb.select(col("vec_id").as("neighbor_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vb"))
+        .withColumn("nb", VectorOps.norm(col("vb")))
+      val pairs = dd.join(vb, Seq("neighbor_id")).join(va, Seq("query_id"))
+        .withColumn("cos", round(VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      time("d10new attach+cos (noop)") { noop(pairs) }
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      time("d10new window tail (noop)") {
+        noop(pairs.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("query_id", "neighbor_id", "cos", "rank"))
       }
       time("d10new full (noop)") {
         noop(VectorOps.lshTopK(emb, 3, nPlanes = 2, nTables = 32))

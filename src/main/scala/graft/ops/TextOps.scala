@@ -238,10 +238,16 @@ object TextOps {
             col("text"), lit(k), lit(bands))).as(Seq("band", "band_sig")))
         .localCheckpoint(),
       Seq("source", "band", "band_sig"), maxBucketDocs)
+    // keyed repartition to cluster parallelism (see minhashLsh: AQE
+    // coalesces by join INPUT size and would serialize the m²-blowup
+    // candidate join output)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val a = banded.select(col("source"), col("band"), col("band_sig"),
       col("doc_id").as("doc_a"))
+      .repartition(par, col("source"), col("band"), col("band_sig"))
     val b = banded.select(col("source"), col("band"), col("band_sig"),
       col("doc_id").as("doc_b"))
+      .repartition(par, col("source"), col("band"), col("band_sig"))
     val candidates = a.hint("shuffle_hash").join(b, Seq("source", "band", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("source", "doc_a", "doc_b")
@@ -464,10 +470,18 @@ object TextOps {
         val masks = surv.groupBy("doc_id").agg(sum(expr("shiftleft(1L, band)")).as("mask"))
         surv.join(masks, Seq("doc_id"))
       }).localCheckpoint()
+    // keyed repartition to cluster parallelism: AQE's size-based coalescing
+    // only sees the ~tens-of-MB join INPUT and would fold the post-shuffle
+    // partitions while the join OUTPUT is 10^7 candidate rows (generator-
+    // shaped join; a user-numbered repartition is never coalesced and
+    // satisfies the join's distribution — no extra exchange)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val a = sides.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"),
       col("sigs").as("sigs_a"), col("mask").as("mask_a"))
+      .repartition(par, col("band"), col("band_sig"))
     val b = sides.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"),
       col("sigs").as("sigs_b"))
+      .repartition(par, col("band"), col("band_sig"))
     // The first-surviving-shared-band test is ONE native codegen'd static
     // call ([[graft.functions.FirstSharedBand]]). The equivalent builtin
     // cascade (16 least/CASE WHEN/element_at terms) blew the fused join
@@ -615,8 +629,14 @@ object TextOps {
     val rare = fps.groupBy("fingerprint").agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDocFreq).select("fingerprint")
     val kept = fps.join(rare, Seq("fingerprint"))
+    // keyed repartition to cluster parallelism (see minhashLsh: AQE
+    // coalesces by join INPUT size and would serialize the m²-blowup
+    // inverted-index join output)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val a = kept.select(col("fingerprint"), col("doc_id").as("doc_a"))
+      .repartition(par, col("fingerprint"))
     val b = kept.select(col("fingerprint"), col("doc_id").as("doc_b"))
+      .repartition(par, col("fingerprint"))
     a.join(b, Seq("fingerprint"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")

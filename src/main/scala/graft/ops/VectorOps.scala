@@ -137,18 +137,18 @@ object VectorOps {
     val signs: Seq[Seq[Double]] =
       (0 until total).map(p => (0 until dim).map(d => planeSignValue(p, d)))
     val signsLit = typedlit(signs)
-    // the embedding is cast to array<double> ONCE per row (a bound
-    // attribute), and each plane's fold is one native [[dot]] call — the
-    // previous aggregate(zip_with(cast)) lambda re-cast and folded
-    // interpreted, per plane per row (total × dim CodegenFallback evals)
-    graft.functions.DotProduct.ensureRegistered(embeddings.sparkSession)
-    val dots = transform(sequence(lit(0), lit(total - 1)), p =>
-      call_function(graft.functions.DotProduct.functionName,
-        col("_ed"), element_at(signsLit, p + 1)))
+    // ALL plane dot products in ONE native call per row
+    // ([[graft.functions.SignDots]]): both the historical
+    // aggregate(zip_with(cast)) lambda and a per-plane native-dot variant
+    // leave an outer CodegenFallback HOF that is interpreted per plane per
+    // row (measured ~3 s for 1,500 rows × 64 planes)
+    graft.functions.SignDots.ensureRegistered(embeddings.sparkSession)
     val staged = Par.fanOut(embeddings.select(col("vec_id"), col("embedding")),
         col("vec_id"))
       .select(col("vec_id"), toDouble(col("embedding")).as("_ed"))
-      .select(col("vec_id"), dots.as("_dots"))
+      .select(col("vec_id"),
+        call_function(graft.functions.SignDots.functionName,
+          col("_ed"), signsLit).as("_dots"))
     val buckets = transform(sequence(lit(0), lit(nTables - 1)), t =>
       (0 until nPlanes).map(q =>
         when(element_at(col("_dots"), t * nPlanes + q + 1) >= 0, lit(1L << q))
@@ -209,11 +209,20 @@ object VectorOps {
     // one-scan multi-table assignment, materialized once for the self-join
     val tables = lshTables(embeddings, nPlanes, nTables).localCheckpoint()
     // id-only bucket join; vectors + precomputed norms re-attach after the
-    // pair dedup (bucket collisions dominate the row count — see TextOps)
+    // pair dedup (bucket collisions dominate the row count — see TextOps).
+    // The sides are repartitioned to cluster parallelism BY THE JOIN KEYS
+    // (satisfies the join's distribution — no extra exchange; AQE never
+    // coalesces a user-numbered repartition): AQE's size-based coalescing
+    // sees only the ~MB-scale join INPUT and folded the post-shuffle side
+    // to ~3 partitions, serializing the 3×10^7-row join OUTPUT and the
+    // window sort behind it (measured: the d10 window tail alone was
+    // ~5 s near-single-threaded). Generator-shaped joins (output >> input)
+    // must pin their own parallelism.
+    val p = embeddings.sparkSession.sparkContext.defaultParallelism
     val a = tables.select(col("table"), col("bucket"), col("packed").as("pk_a"),
-      col("vec_id").as("query_id"))
+      col("vec_id").as("query_id")).repartition(p, col("table"), col("bucket"))
     val b = tables.select(col("table"), col("bucket"), col("packed").as("pk_b"),
-      col("vec_id").as("neighbor_id"))
+      col("vec_id").as("neighbor_id")).repartition(p, col("table"), col("bucket"))
     val va = embeddings.select(col("vec_id").as("query_id"),
       toDouble(col("embedding")).as("va")).withColumn("na", norm(col("va")))
     val vb = embeddings.select(col("vec_id").as("neighbor_id"),
@@ -390,10 +399,13 @@ object VectorOps {
   def cosineNearDupLsh(embeddings: DataFrame, threshold: Double,
                        nPlanes: Int = 2, nTables: Int = 32): DataFrame = {
     val tables = lshTables(embeddings, nPlanes, nTables).localCheckpoint()
+    // keyed repartition to cluster parallelism — see lshTopK: AQE coalesces
+    // by join INPUT size and serializes the m²-blowup join output otherwise
+    val p = embeddings.sparkSession.sparkContext.defaultParallelism
     val a = tables.select(col("table"), col("bucket"), col("packed").as("pk_a"),
-      col("vec_id").as("vec_a"))
+      col("vec_id").as("vec_a")).repartition(p, col("table"), col("bucket"))
     val b = tables.select(col("table"), col("bucket"), col("packed").as("pk_b"),
-      col("vec_id").as("vec_b"))
+      col("vec_id").as("vec_b")).repartition(p, col("table"), col("bucket"))
     val va = embeddings.select(col("vec_id").as("vec_a"),
       toDouble(col("embedding")).as("va")).withColumn("na", norm(col("va")))
     val vb = embeddings.select(col("vec_id").as("vec_b"),
