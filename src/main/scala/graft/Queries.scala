@@ -314,7 +314,12 @@ object Queries {
       val fresh = docs.select((col("doc_id") + 1000000).as("doc_id"),
         array_join(slice(split(col("text"), " "), lit(1),
           greatest(size(split(col("text"), " ")) - 3, lit(1))), " ").as("text"))
+      // the index is PREBUILT by contract (signatures of the accumulated
+      // corpus are never recomputed per round) — materialize it once, as a
+      // deployment's parquet band index would be; without this the plan
+      // recomputes the old corpus's signatures twice (cap count + join)
       val index = graft.ops.TextOps.minhashBandIndex(old, k = 32, bands = 16)
+        .localCheckpoint()
       graft.ops.TextOps.minhashLshIncremental(fresh, index, old,
           k = 32, bands = 16, threshold = 0.9, maxBucketDocs = 1024)
         .orderBy("doc_a", "doc_b")

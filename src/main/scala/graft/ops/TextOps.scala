@@ -756,15 +756,18 @@ object TextOps {
     // ([[graft.functions.SimhashSubsetKeys]], same canonical subset order
     // and fold — the HOF posexplode+aggregate formulation it replaces was
     // CodegenFallback and interpreted at ~5 µs per generated row: 20 s of
-    // the round-5 d17 bench). Materialized once: the self-join references
-    // the blocked frame on both sides.
+    // the round-5 d17 bench). The CHECKPOINT sits on the distinct VALUES
+    // (v rows), not the exploded v×C(c,m) frame the round-5 form
+    // materialized: the self-join still derives its two sides from one
+    // computed frame, but re-generating the subset keys per side is one
+    // cheap native call per value — far below writing and re-reading the
+    // ~10^2 MB exploded frame (7.8M rows at d=5..7 on the bench corpus).
     graft.functions.SimhashSubsetKeys.ensureRegistered(members.sparkSession)
-    val values = members.select("simhash").distinct()
+    val values = members.select("simhash").distinct().localCheckpoint()
     val blocked = values
       .select(col("simhash"),
         posexplode(call_function(graft.functions.SimhashSubsetKeys.functionName,
           col("simhash"), lit(d))).as(Seq("blk", "blk_key")))
-      .localCheckpoint()
     val a = blocked.select(col("blk"), col("blk_key"), col("simhash").as("sim_a"))
     val b = blocked.select(col("blk"), col("blk_key"), col("simhash").as("sim_b"))
     val xorCol = col("sim_a").bitwiseXOR(col("sim_b"))
