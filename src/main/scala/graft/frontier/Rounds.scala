@@ -53,6 +53,29 @@ final class RoundState(spark: SparkSession, stateDir: String) {
   private val ckptCache = scala.collection.mutable.HashMap.empty[String, Option[(Int, String)]]
   private val manifestCache = scala.collection.mutable.HashMap.empty[Int, Option[Map[String, String]]]
   private val tableRoundsCache = scala.collection.mutable.HashMap.empty[String, Set[Int]]
+  // Per-instance parquet SCHEMA memo, keyed by (table, kind) where kind
+  // distinguishes delta dirs from checkpoint bases (bases carry `_round`).
+  // Unlike the metadata caches above this survives refresh(): a table's
+  // delta schema is fixed by the writer code, so re-inferring it (a
+  // listing + footer read per spark.read.parquet, ~6 tables × every
+  // round — measured 0.5-1.0 s/round of pure driver time) buys nothing.
+  // [[writeDelta]] invalidates the entry if this process ever writes the
+  // table with a DIFFERENT schema, so in-process schema evolution is safe;
+  // a table widened by another process mid-run needs a new RoundState
+  // (the same boundary the metadata snapshot semantics already draw).
+  private val schemaCache =
+    scala.collection.mutable.HashMap.empty[(String, String), org.apache.spark.sql.types.StructType]
+
+  private def readParquet(table: String, kind: String, paths: Seq[String]): DataFrame = {
+    val cached = synchronized(schemaCache.get((table, kind)))
+    cached match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None =>
+        val df = spark.read.parquet(paths: _*)
+        synchronized { schemaCache((table, kind)) = df.schema }
+        df
+    }
+  }
 
   /** Drop the memoized metadata snapshot; the next read re-lists the state
     * dir. The round driver calls this once per round — combined with
@@ -127,11 +150,19 @@ final class RoundState(spark: SparkSession, stateDir: String) {
     * not copy this setting to writers whose output dir IS the commit
     * marker.
     */
-  def writeDelta(table: String, round: Int, df: DataFrame): Unit =
+  def writeDelta(table: String, round: Int, df: DataFrame): Unit = {
+    // in-process schema evolution: a delta written with a different schema
+    // invalidates the memo so the next read re-infers
+    synchronized {
+      schemaCache.get((table, "delta")).foreach { s =>
+        if (s != df.schema) { schemaCache.remove((table, "delta")); schemaCache.remove((table, "base")) }
+      }
+    }
     df.write.mode("overwrite")
       .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(s"$stateDir/$table/round=$round")
+  }
 
   /** Union of all committed deltas of a table (empty frame via schema sample
     * must be handled by callers when no rounds are committed yet).
@@ -146,8 +177,8 @@ final class RoundState(spark: SparkSession, stateDir: String) {
       .filter(present.contains)
       .map(r => s"$stateDir/$table/round=$r")
     val parts =
-      ckpt.map { case (_, d) => spark.read.parquet(s"$stateDir/$table/$d").drop("_round") }.toSeq ++
-        (if (paths.isEmpty) Nil else Seq(spark.read.parquet(paths: _*)))
+      ckpt.map { case (_, d) => readParquet(table, "base", Seq(s"$stateDir/$table/$d")).drop("_round") }.toSeq ++
+        (if (paths.isEmpty) Nil else Seq(readParquet(table, "delta", paths)))
     if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
   }
 
@@ -160,7 +191,7 @@ final class RoundState(spark: SparkSession, stateDir: String) {
     val rounds = committedRounds.filter(_ <= asOfRound)
       .filter(tableRounds(table).contains)
     if (rounds.isEmpty) None
-    else Some(spark.read.parquet(rounds.map(r => s"$stateDir/$table/round=$r"): _*))
+    else Some(readParquet(table, "delta", rounds.map(r => s"$stateDir/$table/round=$r")))
   }
 
   /** [[readAsOf]] with each delta's round re-attached as `_round` — the
@@ -173,7 +204,7 @@ final class RoundState(spark: SparkSession, stateDir: String) {
       .filter(tableRounds(table).contains)
     if (rounds.isEmpty) None
     else Some(rounds.map { r =>
-      spark.read.parquet(s"$stateDir/$table/round=$r")
+      readParquet(table, "delta", Seq(s"$stateDir/$table/round=$r"))
         .withColumn("_round", org.apache.spark.sql.functions.lit(r))
     }.reduce(_ unionByName _))
   }
@@ -189,10 +220,10 @@ final class RoundState(spark: SparkSession, stateDir: String) {
       .filter(r => ckpt.forall(r > _._1))
       .filter(tableRounds(table).contains)
     val deltas = rounds.map { r =>
-      spark.read.parquet(s"$stateDir/$table/round=$r")
+      readParquet(table, "delta", Seq(s"$stateDir/$table/round=$r"))
         .withColumn("_round", org.apache.spark.sql.functions.lit(r))
     }
-    val baseDf = ckpt.map { case (_, d) => spark.read.parquet(s"$stateDir/$table/$d") }
+    val baseDf = ckpt.map { case (_, d) => readParquet(table, "base", Seq(s"$stateDir/$table/$d")) }
     val parts = baseDf.toSeq ++ deltas
     if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
   }
@@ -299,7 +330,7 @@ final class RoundState(spark: SparkSession, stateDir: String) {
   def readLatestSnapshot(table: String): Option[DataFrame] =
     committedRounds.reverse
       .find(tableRounds(table).contains)
-      .map(r => spark.read.parquet(s"$stateDir/$table/round=$r"))
+      .map(r => readParquet(table, "delta", Seq(s"$stateDir/$table/round=$r")))
 
   /** Row count of one written delta (parquet footer metadata read). */
   def readDeltaCount(table: String, round: Int): Long =

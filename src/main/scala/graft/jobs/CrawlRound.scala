@@ -47,6 +47,12 @@ object CrawlRound {
           writeLineage: Boolean = true): RoundStats = {
     import spark.implicits._
     val roundT0 = System.nanoTime() // per-round wall: the Amdahl serial-fraction audit
+    var _t = roundT0
+    def lap(name: String): Unit = {
+      val now = System.nanoTime()
+      System.err.println(f"[round $round] $name: ${(now - _t) / 1e9}%.2f s")
+      _t = now
+    }
 
     // One metadata-listing epoch per round: every state read below hits the
     // RoundState memo; commit() at round end re-invalidates. refresh() here
@@ -126,12 +132,7 @@ object CrawlRound {
     // category completion) — materialize once instead of recomputing the
     // seed→canon→bloom lineage per action.
     val pending = allowed.cache()
-    var _t = System.nanoTime()
-    def lap(name: String): Unit = {
-      val now = System.nanoTime()
-      System.err.println(f"[round $round] $name: ${(now - _t) / 1e9}%.2f s")
-      _t = now
-    }
+    lap("frontier-plan") // state reads + plan construction (driver-side)
     // frontier counts everything still owed, INCLUDING URLs parked behind a
     // cooling host — the round loop must not stop while they are pending
     val frontierCount = pending.count()
